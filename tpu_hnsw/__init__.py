@@ -1,0 +1,13 @@
+"""tpu-hnsw: a TPU-native HNSW index-and-query engine.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the
+reference repo ``dhwodnjs/pgvector-hnsw-partitioning`` (a pgvector-derived
+HNSW-partitioning project). See SURVEY.md at the repo root for the layer
+map and the reference-to-TPU translation.
+"""
+
+from tpu_hnsw.config import HnswConfig, Metric
+from tpu_hnsw.index.flat import FlatIndex
+
+__all__ = ["HnswConfig", "Metric", "FlatIndex"]
+__version__ = "0.1.0"

@@ -1,0 +1,61 @@
+"""Top-k selection and k-way merge utilities.
+
+The candidate-heap of the reference's ``HnswSearchLayer`` (upstream
+``pgvector:src/hnswutils.c``, pairingheap of HnswSearchCandidates) becomes
+sorted fixed-width buffers maintained with ``lax.top_k``/``sort`` — the
+compiler-friendly TPU analogue (no pointer heaps, static shapes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+def topk_smallest(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Smallest-k along the last axis. Returns (values, indices)."""
+    neg, idx = jax.lax.top_k(-scores, k)
+    return -neg, idx
+
+
+def merge_pools(
+    dists_a: jax.Array,
+    ids_a: jax.Array,
+    flags_a: jax.Array,
+    dists_b: jax.Array,
+    ids_b: jax.Array,
+    flags_b: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Merge two (dist, id, flag) pools along the last axis, keep best k.
+
+    Used to fold freshly scored neighbors into the beam-search candidate
+    pool. Entries with dist=+inf are padding. Ties broken arbitrarily.
+    """
+    d = jnp.concatenate([dists_a, dists_b], axis=-1)
+    i = jnp.concatenate([ids_a, ids_b], axis=-1)
+    f = jnp.concatenate([flags_a, flags_b], axis=-1)
+    vals, sel = topk_smallest(d, k)
+    return (
+        vals,
+        jnp.take_along_axis(i, sel, axis=-1),
+        jnp.take_along_axis(f, sel, axis=-1),
+    )
+
+
+def kway_merge_topk(
+    dists: jax.Array, ids: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Merge per-partition top-k lists into a global top-k.
+
+    dists/ids: ``[..., P, K]`` (P partitions) -> ``[..., k]``.  This is the
+    partitioned-search merge op (SURVEY.md §5 "the one comm-adjacent kernel");
+    after an ``all_gather`` of per-shard top-k it reduces to a single
+    ``top_k`` over P*K lanes.
+    """
+    flat_d = dists.reshape(*dists.shape[:-2], -1)
+    flat_i = ids.reshape(*ids.shape[:-2], -1)
+    vals, sel = topk_smallest(flat_d, k)
+    return vals, jnp.take_along_axis(flat_i, sel, axis=-1)
