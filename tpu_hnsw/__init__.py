@@ -8,6 +8,7 @@ map and the reference-to-TPU translation.
 
 from tpu_hnsw.config import HnswConfig, Metric
 from tpu_hnsw.index.flat import FlatIndex
+from tpu_hnsw.index.hnsw import HnswIndex
 
-__all__ = ["HnswConfig", "Metric", "FlatIndex"]
+__all__ = ["HnswConfig", "Metric", "FlatIndex", "HnswIndex"]
 __version__ = "0.1.0"

@@ -85,6 +85,11 @@ class HnswConfig:
     # at-a-time HnswSearchLayer order; >1 trades extra distance evals for
     # fewer, larger TPU steps).
     expand_per_step: int = 1
+    # Merge within-wave brute-force top-k into each wave element's candidate
+    # set before neighbor selection. Compensates for wave staleness (elements
+    # of one wave not seeing each other), restoring the sequential build's
+    # connectivity at large wave sizes. No-op at wave_size=1.
+    link_within_wave: bool = True
     seed: int = 0
 
     def __post_init__(self):

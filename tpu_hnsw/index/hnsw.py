@@ -1,0 +1,302 @@
+"""HnswIndex — the index access-method API.
+
+The Python surface replacing the reference's AM callbacks (upstream
+``pgvector:src/hnsw.c`` handler: ``hnswbuild`` -> :meth:`HnswIndex.build`,
+``hnswinsert`` -> :meth:`HnswIndex.add`, ``hnswgettuple``/``hnswscan`` ->
+:meth:`HnswIndex.search`, ``hnswbulkdelete`` -> :meth:`HnswIndex.delete`,
+metapage -> the host-side scalars here; SURVEY.md §1.3 L5).
+
+All device state lives in an :class:`~tpu_hnsw.index.graph.HnswGraph`;
+this class holds host scalars (count, entry point, PRNG) and drives the
+jit-compiled wave/search steps.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_hnsw.config import HnswConfig, Metric, validate_ef_search
+from tpu_hnsw.index import build as B
+from tpu_hnsw.index import graph as G
+from tpu_hnsw.index import search as SE
+from tpu_hnsw.ops import distance as D
+
+
+class HnswIndex:
+    def __init__(self, config: HnswConfig, capacity: int | None = None):
+        self.cfg = config
+        self.capacity = int(capacity or config.max_elements or 0)
+        self.graph: G.HnswGraph | None = None
+        self.n = 0
+        self.n_upper = 0
+        self.entry = -1
+        self.entry_level = -1
+        self._rng = np.random.default_rng(config.seed)
+        self._levels_host: list[int] = []
+
+    # ------------------------------------------------------------------ util
+    @property
+    def size(self) -> int:
+        return self.n
+
+    def _ensure_graph(self, needed: int):
+        if self.graph is None:
+            if self.capacity == 0:
+                self.capacity = max(needed, 1024)
+            self.graph = G.init_graph(self.cfg, self.capacity)
+        if self.n + needed > self.capacity:
+            raise ValueError(
+                f"index capacity {self.capacity} exceeded "
+                f"(have {self.n}, adding {needed}); set max_elements larger"
+            )
+
+    def _draw_levels(self, count: int) -> np.ndarray:
+        """Geometric level assignment, upstream HnswInitElement:
+        level = floor(-ln(U) * ml)."""
+        u = np.maximum(self._rng.random(count), 1e-12)
+        lv = np.minimum(
+            (-np.log(u) * self.cfg.ml).astype(np.int64), self.cfg.max_level
+        )
+        return lv.astype(np.int32)
+
+    def _prep(self, data) -> np.ndarray:
+        x = np.asarray(data, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.cfg.dim:
+            # upstream: "expected N dimensions, not M"
+            raise ValueError(
+                f"expected {self.cfg.dim} dimensions, not {x.shape[1]}"
+            )
+        if not np.isfinite(x).all():
+            # upstream vector_in rejects NaN and infinity values
+            raise ValueError("NaN or infinity values are not allowed")
+        if self.cfg.metric.needs_normalized:
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(n, 1e-12)
+        return x
+
+    # ----------------------------------------------------------------- build
+    def build(self, data) -> "HnswIndex":
+        """CREATE INDEX analogue: bulk-build over a dataset."""
+        x = self._prep(data)
+        if self.capacity == 0 and self.graph is None:
+            self.capacity = max(self.cfg.max_elements, x.shape[0])
+        self.add(x, _pre=False)
+        return self
+
+    def add(self, data, _pre: bool = True, levels: np.ndarray | None = None) -> np.ndarray:
+        """Insert vectors (hnswinsert analogue, batched). Returns ids.
+
+        ``levels`` overrides the geometric draw (tests / deterministic
+        replay only)."""
+        x = self._prep(data) if _pre else np.asarray(data, np.float32)
+        count = x.shape[0]
+        self._ensure_graph(count)
+        if levels is None:
+            levels = self._draw_levels(count)
+        else:
+            levels = np.asarray(levels, np.int32)
+        ids_out = np.empty(count, dtype=np.int32)
+
+        pos = 0
+        # bootstrap: the very first element becomes the entry point with no
+        # search (upstream: first inserted tuple initializes the metapage)
+        if self.entry < 0:
+            ids_out[0] = self.n
+            self._insert_first(x[0], int(levels[0]))
+            pos = 1
+
+        while pos < count:
+            # wave ramp: a wave never exceeds the current graph size, so
+            # early elements see a reasonably dense graph
+            wave = min(self.cfg.wave_size, max(1, self.n), count - pos)
+            ids_out[pos : pos + wave] = self.n + np.arange(wave, dtype=np.int32)
+            self._insert_wave(x[pos : pos + wave], levels[pos : pos + wave])
+            pos += wave
+        return ids_out
+
+    def _insert_first(self, vec: np.ndarray, level: int):
+        g = self.graph
+        nid = self.n
+        slot = self.n_upper if level >= 1 else g.cap_upper
+        if level >= 1:
+            self.n_upper += 1
+        g = B._set_wave(
+            g,
+            jnp.asarray([nid], jnp.int32),
+            jnp.asarray(vec[None, :]),
+            jnp.asarray([level], jnp.int32),
+            jnp.asarray([slot], jnp.int32),
+        )
+        self.graph = g
+        self.entry, self.entry_level = nid, level
+        self.n += 1
+        self._levels_host.append(level)
+
+    def _insert_wave(self, x: np.ndarray, levels: np.ndarray) -> None:
+        bsz = x.shape[0]
+        bpad = B.next_pow2(bsz)
+        order = np.argsort(-levels, kind="stable")  # sort wave by level desc
+        x_sorted = x[order]
+        lv_sorted = levels[order]
+        ids = np.full(bpad, self.graph.sentinel, np.int32)
+        # each input row keeps its natural id (n + row); the wave is a
+        # level-sorted VIEW, so ids here are the permuted row ids
+        ids[:bsz] = self.n + order.astype(np.int32)
+        lv = np.zeros(bpad, np.int32)
+        lv[:bsz] = lv_sorted
+        slots = np.full(bpad, self.graph.cap_upper, np.int32)
+        n_up = int((lv_sorted >= 1).sum())
+        if self.n_upper + n_up > self.graph.cap_upper:
+            raise RuntimeError("upper-level table overflow; increase capacity")
+        slots[:n_up] = self.n_upper + np.arange(n_up, dtype=np.int32)
+        self.n_upper += n_up
+
+        vecs = np.zeros((bpad, x.shape[1]), np.float32)
+        vecs[:bsz] = x_sorted
+        self.graph = B.insert_wave(
+            self.graph,
+            self.cfg,
+            jnp.asarray(vecs),
+            ids,
+            lv,
+            slots,
+            bsz,
+            self.entry,
+            self.entry_level,
+        )
+        self._levels_host.extend(int(l) for l in levels)
+        self.n += bsz
+        wave_max = int(lv_sorted[0])
+        if wave_max > self.entry_level:
+            self.entry = int(ids[0])
+            self.entry_level = wave_max
+
+    # ---------------------------------------------------------------- search
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        ef_search: int = 40,
+        return_distances: bool = True,
+    ):
+        """ORDER BY distance LIMIT k analogue (hnswscan GetScanItems).
+
+        Returns (distances [Q, k] in operator units, ids [Q, k]); missing
+        results carry id -1 and distance +inf.
+        """
+        validate_ef_search(ef_search)
+        if self.graph is None or self.n == 0:
+            raise ValueError("index is empty")
+        q = self._prep(queries)
+        nq = q.shape[0]
+        qpad = B.next_pow2(nq)
+        if qpad != nq:
+            q = np.concatenate([q, np.zeros((qpad - nq, q.shape[1]), q.dtype)])
+        scores, ids = SE.search(
+            self.graph,
+            jnp.asarray(q),
+            entry=self.entry,
+            entry_level=self.entry_level,
+            k=k,
+            ef_search=max(ef_search, k),
+            metric=self.cfg.metric,
+            expand=self.cfg.expand_per_step,
+        )
+        scores = np.asarray(scores[:nq])
+        ids = np.asarray(ids[:nq])
+        ids = np.where(ids == self.graph.sentinel, -1, ids)
+        if not return_distances:
+            return ids
+        dists = np.asarray(
+            D.score_to_distance(jnp.asarray(scores), self.cfg.metric)
+        )
+        return dists, ids
+
+    # ---------------------------------------------------------------- delete
+    def delete(self, ids) -> None:
+        """Tombstone elements (hnswbulkdelete analogue; repair at compact)."""
+        ids = np.asarray(ids, dtype=np.int32).reshape(-1)
+        g = self.graph
+        self.graph = g._replace(deleted=g.deleted.at[ids].set(True, mode="drop"))
+
+    # ----------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Persist full index state (the WAL/page-flush analogue is a single
+        explicit snapshot: SURVEY.md §5 checkpoint/resume)."""
+        os.makedirs(path, exist_ok=True)
+        g = self.graph
+        np.savez(
+            os.path.join(path, "graph.npz"),
+            # stored f32 (numpy has no native bf16); load() re-casts per config
+            vectors=np.asarray(g.vectors, dtype=np.float32),
+            neighbors0=np.asarray(g.neighbors0),
+            upper_nbrs=np.asarray(g.upper_nbrs),
+            upper_slot=np.asarray(g.upper_slot),
+            levels=np.asarray(g.levels),
+            deleted=np.asarray(g.deleted),
+        )
+        meta = {
+            "config": {
+                "dim": self.cfg.dim,
+                "metric": self.cfg.metric.value,
+                "m": self.cfg.m,
+                "ef_construction": self.cfg.ef_construction,
+                "max_elements": self.cfg.max_elements,
+                "dtype": self.cfg.dtype,
+                "max_level": self.cfg.max_level,
+                "wave_size": self.cfg.wave_size,
+                "expand_per_step": self.cfg.expand_per_step,
+                "seed": self.cfg.seed,
+            },
+            "n": self.n,
+            "n_upper": self.n_upper,
+            "entry": self.entry,
+            "entry_level": self.entry_level,
+            "capacity": self.capacity,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "HnswIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        c = meta["config"]
+        cfg = HnswConfig(
+            dim=c["dim"],
+            metric=Metric(c["metric"]),
+            m=c["m"],
+            ef_construction=c["ef_construction"],
+            max_elements=c["max_elements"],
+            dtype=c["dtype"],
+            max_level=c["max_level"],
+            wave_size=c["wave_size"],
+            expand_per_step=c["expand_per_step"],
+            seed=c["seed"],
+        )
+        idx = cls(cfg, capacity=meta["capacity"])
+        z = np.load(os.path.join(path, "graph.npz"))
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        vectors = jnp.asarray(z["vectors"], dtype=dtype)
+        idx.graph = G.HnswGraph(
+            vectors=vectors,
+            vectors_sq=D.squared_norms(vectors),
+            neighbors0=jnp.asarray(z["neighbors0"]),
+            upper_nbrs=jnp.asarray(z["upper_nbrs"]),
+            upper_slot=jnp.asarray(z["upper_slot"]),
+            levels=jnp.asarray(z["levels"]),
+            deleted=jnp.asarray(z["deleted"]),
+        )
+        idx.n = meta["n"]
+        idx.n_upper = meta["n_upper"]
+        idx.entry = meta["entry"]
+        idx.entry_level = meta["entry_level"]
+        return idx
