@@ -1,0 +1,110 @@
+"""Partitioned sub-indexes, routing, and the global top-k merge —
+multi-device behavior tested on the virtual 8-core CPU mesh (SURVEY.md §4:
+the analogue of upstream's throwaway-local-cluster TAP strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_hnsw.config import HnswConfig, Metric
+from tpu_hnsw.index.flat import FlatIndex
+from tpu_hnsw.parallel.kmeans import kmeans
+from tpu_hnsw.parallel.partition import (
+    CentroidRouter,
+    HashRouter,
+    PartitionedHnswIndex,
+)
+from tpu_hnsw.io.datasets import synthetic_clustered
+from tpu_hnsw.utils.recall import recall_at_k
+
+
+CFG = dict(dim=12, m=8, ef_construction=32, wave_size=128, seed=3)
+
+
+@pytest.fixture(scope="module")
+def data():
+    base, queries = synthetic_clustered(4000, 12, n_queries=40, seed=23)
+    flat = FlatIndex(base, Metric.L2)
+    _, gt = flat.search(queries, k=10)
+    return base, queries, gt
+
+
+def test_kmeans_partitions_balanced(data):
+    base, _, _ = data
+    centroids, assign = kmeans(base, 8, iters=8, seed=0)
+    assert centroids.shape == (8, 12)
+    counts = np.bincount(assign, minlength=8)
+    assert counts.min() > 0
+    # each point is nearest its own centroid vs a random other
+    d_own = ((base - centroids[assign]) ** 2).sum(1)
+    d_other = ((base - centroids[(assign + 1) % 8]) ** 2).sum(1)
+    assert (d_own <= d_other + 1e-4).mean() > 0.99
+
+
+def test_hash_partitioned_recall_and_merge(data):
+    base, queries, gt = data
+    idx = PartitionedHnswIndex(HnswConfig(**CFG), n_partitions=8, router="hash")
+    idx.build(base)
+    d, ids = idx.search(queries, k=10, ef_search=64)
+    assert recall_at_k(ids, gt, 10) >= 0.9
+    assert np.all(np.diff(d, axis=1) >= -1e-5)  # merged stream is sorted
+
+
+def test_partitioned_exhaustive_equals_brute_force(data):
+    """ef = partition size ⇒ per-shard exhaustive ⇒ merge must equal the
+    global exact top-k (the merge-correctness property, SURVEY.md §4)."""
+    base, queries, gt = data
+    idx = PartitionedHnswIndex(
+        HnswConfig(**CFG), n_partitions=8, router="hash"
+    )
+    idx.build(base[:800])
+    flat = FlatIndex(base[:800], Metric.L2)
+    _, gt800 = flat.search(queries, k=5)
+    _, ids = idx.search(queries, k=5, ef_search=600)
+    assert recall_at_k(ids, gt800, 5) == 1.0
+
+
+def test_centroid_routing_tradeoff(data):
+    base, queries, gt = data
+    idx = PartitionedHnswIndex(
+        HnswConfig(**CFG), n_partitions=8, router="centroid"
+    )
+    idx.build(base)
+    _, ids_all = idx.search(queries, k=10, ef_search=64, route_k=8)
+    _, ids_2 = idx.search(queries, k=10, ef_search=64, route_k=2)
+    r_all = recall_at_k(ids_all, gt, 10)
+    r_2 = recall_at_k(ids_2, gt, 10)
+    assert r_all >= 0.9
+    # clustered data: top-2-of-8 routing retains most recall
+    assert r_2 >= 0.75
+    assert r_all >= r_2 - 1e-9
+
+
+def test_sharded_search_matches_host_loop(data):
+    base, queries, gt = data
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    idx = PartitionedHnswIndex(HnswConfig(**CFG), n_partitions=8, router="hash")
+    idx.build(base)
+    d_host, i_host = idx.search(queries, k=10, ef_search=64)
+    sharded = idx.sharded()
+    d_mesh, i_mesh = sharded.search(queries, k=10, ef_search=64)
+    assert recall_at_k(i_mesh, gt, 10) >= 0.9
+    # same sub-graphs, same ef ⇒ identical result sets
+    same = sum(
+        set(a.tolist()) == set(b.tolist()) for a, b in zip(i_host, i_mesh)
+    )
+    assert same >= int(0.95 * len(i_host))
+
+
+def test_partitioned_save_load(tmp_path, data):
+    base, queries, _ = data
+    idx = PartitionedHnswIndex(
+        HnswConfig(**CFG), n_partitions=4, router="centroid"
+    )
+    idx.build(base[:1000])
+    d1, i1 = idx.search(queries, k=5, ef_search=40)
+    idx.save(str(tmp_path / "pidx"))
+    idx2 = PartitionedHnswIndex.load(str(tmp_path / "pidx"))
+    d2, i2 = idx2.search(queries, k=5, ef_search=40)
+    assert (i1 == i2).all()

@@ -85,6 +85,9 @@ class HnswConfig:
     # at-a-time HnswSearchLayer order; >1 trades extra distance evals for
     # fewer, larger TPU steps).
     expand_per_step: int = 1
+    # Same, for construction-time searches. >1 shortens the serial while-
+    # loop (the build-throughput bottleneck) at a small recall cost.
+    build_expand_per_step: int = 1
     # Merge within-wave brute-force top-k into each wave element's candidate
     # set before neighbor selection. Compensates for wave staleness (elements
     # of one wave not seeing each other), restoring the sequential build's

@@ -19,7 +19,14 @@ vectors inserted together:
 Wave staleness (elements of one wave not seeing each other during their
 searches) matches the staleness of pgvector's *parallel* build, where
 concurrent workers insert elements that in-flight searches may miss;
-``wave_size=1`` reproduces exact sequential semantics (test oracle).
+``wave_size=1`` reproduces exact sequential semantics (test oracle), and
+intra-wave brute-force link candidates restore sequential-grade
+connectivity at large wave sizes.
+
+Compile discipline: every wave is padded to ONE static bucket
+(next_pow2(wave_size)); upper-level prefixes are padded to expectation-
+based buckets; upper levels share one kernel via a dynamic level scalar.
+A whole build compiles O(10) programs total, regardless of wave count.
 """
 
 from __future__ import annotations
@@ -62,18 +69,19 @@ def _set_wave(g: G.HnswGraph, ids, vecs, levels, slots) -> G.HnswGraph:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("level",))
-def _mask_pool(pool_d, pool_i, n_valid, sentinel, *, level=None):
+@jax.jit
+def _mask_pool(pool_d, pool_i, n_valid, sentinel):
     """Invalidate pool rows >= n_valid (padding rows of a wave bucket)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, pool_i.shape, 0)
     keep = rows < n_valid
     return jnp.where(keep, pool_d, INF), jnp.where(keep, pool_i, sentinel)
 
 
-@functools.partial(jax.jit, static_argnames=("level",))
-def _write_own_lists(g: G.HnswGraph, ids, slots, sel_ids, *, level: int):
-    """Write the wave elements' own adjacency rows at ``level``."""
-    if level == 0:
+@functools.partial(jax.jit, static_argnames=("level0",))
+def _write_own_lists(g: G.HnswGraph, ids, slots, sel_ids, level, *, level0: bool):
+    """Write the wave elements' own adjacency rows at a level
+    (dynamic scalar for upper levels)."""
+    if level0:
         deg = g.neighbors0.shape[1]
         pad = deg - sel_ids.shape[1]
         if pad > 0:
@@ -83,19 +91,21 @@ def _write_own_lists(g: G.HnswGraph, ids, slots, sel_ids, *, level: int):
     pad = m - sel_ids.shape[1]
     if pad > 0:
         sel_ids = jnp.pad(sel_ids, ((0, 0), (0, pad)), constant_values=g.sentinel)
+    lvl = jnp.clip(level - 1, 0, g.upper_nbrs.shape[1] - 1)
     return g._replace(
-        upper_nbrs=g.upper_nbrs.at[slots, level - 1].set(sel_ids, mode="drop")
+        upper_nbrs=g.upper_nbrs.at[slots, lvl].set(sel_ids, mode="drop")
     )
 
 
-@functools.partial(jax.jit, static_argnames=("level", "lm", "metric"))
+@functools.partial(jax.jit, static_argnames=("level0", "lm", "metric"))
 def _reciprocal_update(
     g: G.HnswGraph,
     targets,  # [U] int32 sorted by (target, dist)
     sources,  # [U] int32
     dists,  # [U] f32 dist(target, source)
+    level,  # dynamic scalar (used when level0=False)
     *,
-    level: int,
+    level0: bool,
     lm: int,
     metric: Metric,
 ) -> G.HnswGraph:
@@ -121,11 +131,12 @@ def _reciprocal_update(
         dists.reshape(nchunks, ch),
     )
 
-    adj0 = g.neighbors0 if level == 0 else g.upper_nbrs
+    adj0 = g.neighbors0 if level0 else g.upper_nbrs
+    lvl = jnp.clip(level - 1, 0, g.upper_nbrs.shape[1] - 1)
 
     def chunk_step(adj, x):
         t, u, d = x
-        gg = g._replace(neighbors0=adj) if level == 0 else g._replace(upper_nbrs=adj)
+        gg = g._replace(neighbors0=adj) if level0 else g._replace(upper_nbrs=adj)
         # group rows by target within the chunk
         first = jnp.concatenate([jnp.ones((1,), jnp.bool_), t[1:] != t[:-1]])
         idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0).squeeze(-1)
@@ -145,11 +156,15 @@ def _reciprocal_update(
         )
 
         # current adjacency of each unique target
-        if level == 0:
+        if level0:
+            slots = None
             old = jnp.take(adj, tu, axis=0, mode="clip")
         else:
             slots = jnp.take(g.upper_slot, tu, mode="clip")
-            old = jnp.take(adj[:, level - 1, :], slots, axis=0, mode="clip")
+            rows3 = jnp.take(adj, slots, axis=0, mode="clip")  # [ch, L, m]
+            old = jax.lax.dynamic_index_in_dim(
+                jnp.moveaxis(rows3, 1, 0), lvl, axis=0, keepdims=False
+            )
         old = jnp.where((tu == sent)[:, None], sent, old)
 
         # distances target -> existing neighbors (recomputed: the flat
@@ -170,7 +185,7 @@ def _reciprocal_update(
         cand_d = jnp.concatenate([od, new_dists], axis=1)
         sel_ids, _ = S.select_neighbors(gg, cand_ids, cand_d, lm=lm, metric=metric)
 
-        if level == 0:
+        if level0:
             deg = adj.shape[1]
             if deg > lm:
                 sel_ids = jnp.pad(
@@ -181,11 +196,11 @@ def _reciprocal_update(
             m = adj.shape[2]
             if m > lm:
                 sel_ids = jnp.pad(sel_ids, ((0, 0), (0, m - lm)), constant_values=sent)
-            adj = adj.at[slots, level - 1].set(sel_ids, mode="drop")
+            adj = adj.at[slots, lvl].set(sel_ids, mode="drop")
         return adj, None
 
     adj0, _ = jax.lax.scan(chunk_step, adj0, xs)
-    return g._replace(neighbors0=adj0) if level == 0 else g._replace(upper_nbrs=adj0)
+    return g._replace(neighbors0=adj0) if level0 else g._replace(upper_nbrs=adj0)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "metric"))
@@ -211,6 +226,7 @@ def _wave_link_candidates(vecs, ids, n_valid, sentinel, *, w: int, metric: Metri
     return vals, jnp.where(jnp.isfinite(vals), cand, sentinel)
 
 
+@jax.jit
 def _sorted_updates(sel_ids, sel_dists, src_ids):
     """Flatten selections to (target, source, dist) lex-sorted updates."""
     B, lm = sel_ids.shape
@@ -219,6 +235,34 @@ def _sorted_updates(sel_ids, sel_dists, src_ids):
     d = sel_dists.reshape(-1)
     order = jnp.lexsort((d, t))
     return t[order], u[order], d[order]
+
+
+@jax.jit
+def _splice_seeds(prev_pool, seeds_all, n_prev, sentinel):
+    """Row r < n_prev keeps its carried pool row; later rows get their
+    ef=1 descent seed (sentinel-padded). Shapes static; split dynamic."""
+    ef = prev_pool.shape[1]
+    pad_cols = ef - seeds_all.shape[1]
+    padded = jnp.concatenate(
+        [seeds_all, jnp.full((seeds_all.shape[0], pad_cols), sentinel, jnp.int32)],
+        axis=1,
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, prev_pool.shape, 0)
+    return jnp.where(rows < n_prev, prev_pool, padded)
+
+
+def _prefix_bucket(B: int, m: int, level: int, bp: int) -> int:
+    """Static pad size for the level-``level`` prefix of a wave of B.
+
+    Expectation-based so it is identical across waves (one compile);
+    falls back to next_pow2(bp) in the (vanishingly rare) case the draw
+    exceeds 3x expectation.
+    """
+    exp = max(1, int(B * (float(m) ** -level) * 3) + 8)
+    bucket = min(B, next_pow2(exp))
+    if bp > bucket:
+        bucket = min(B, next_pow2(bp))
+    return bucket
 
 
 def insert_wave(
@@ -236,7 +280,7 @@ def insert_wave(
     vectors normalized/cast, entry >= 0, slots pre-allocated host-side."""
     metric = cfg.metric
     efc = cfg.ef_construction
-    E = cfg.expand_per_step
+    E = cfg.build_expand_per_step
     sent = g.sentinel
     B = vecs.shape[0]
 
@@ -247,15 +291,16 @@ def insert_wave(
 
     q_all = vecs.astype(g.vectors.dtype)
     seeds_all = jnp.full((B, 1), entry, dtype=jnp.int32)
-    prev_pool = None  # [bp_prev_pad, efc] pool of the previous (higher) level
-    bp_prev = 0
+    prev_pool = None  # [*, efc] pool of the previous (higher) level
+    bp_prev = 0  # true (unpadded) previous prefix count
 
     for lc in range(entry_level, 0, -1):
         bp = int((levels_np >= lc).sum())  # prefix rows searching this level
         if bp > 0:
-            bp_pad = min(next_pow2(bp), B)
+            bp_pad = _prefix_bucket(B, cfg.m, lc, bp)
             # seeds: previous pool rows for the old prefix, descent seeds for
-            # rows that join the prefix at this level
+            # rows that join the prefix at this level (dynamic split index
+            # so every wave reuses one compiled program)
             if prev_pool is None:
                 seeds = jnp.pad(
                     seeds_all[:bp_pad],
@@ -263,54 +308,64 @@ def insert_wave(
                     constant_values=sent,
                 )
             else:
-                # split at the TRUE previous prefix count: pool rows beyond
-                # it were masked to sentinel and must not seed real nodes
-                joined = jnp.pad(
-                    seeds_all[bp_prev:bp_pad],
-                    ((0, 0), (0, efc - 1)),
-                    constant_values=sent,
+                pp = prev_pool[:bp_pad]
+                if pp.shape[0] < bp_pad:
+                    pp = jnp.pad(
+                        pp, ((0, bp_pad - pp.shape[0]), (0, 0)),
+                        constant_values=sent,
+                    )
+                seeds = _splice_seeds(
+                    pp, seeds_all[:bp_pad], jnp.int32(bp_prev), jnp.int32(sent)
                 )
-                seeds = jnp.concatenate([prev_pool[:bp_prev], joined], axis=0)
             pool_d, pool_i = search_layer(
-                g, q_all[:bp_pad], seeds, level=lc, ef=efc, expand=E, metric=metric
+                g, q_all[:bp_pad], seeds, jnp.int32(lc),
+                level0=False, ef=efc, expand=E, metric=metric,
             )
             pool_d, pool_i = _mask_pool(
-                pool_d, pool_i, jnp.int32(min(bp, n_valid)), sent, level=lc
+                pool_d, pool_i, jnp.int32(min(bp, n_valid)), sent
             )
             sel_pool_d, sel_pool_i = pool_d, pool_i
             if cfg.link_within_wave and bp > 1:
                 wv, wi = _wave_link_candidates(
                     q_all[:bp_pad], ids[:bp_pad],
                     jnp.int32(min(bp, n_valid)), sent,
-                    w=min(cfg.m, next_pow2(bp)), metric=metric,
+                    w=min(cfg.m, bp_pad), metric=metric,
                 )
                 sel_pool_d = jnp.concatenate([pool_d, wv], axis=1)
                 sel_pool_i = jnp.concatenate([pool_i, wi], axis=1)
             sel_ids, sel_dists = S.select_neighbors(
                 g, sel_pool_i, sel_pool_d, lm=cfg.m, metric=metric
             )
-            g = _write_own_lists(g, ids[:bp_pad], slots[:bp_pad], sel_ids, level=lc)
+            g = _write_own_lists(
+                g, ids[:bp_pad], slots[:bp_pad], sel_ids, jnp.int32(lc),
+                level0=False,
+            )
             t, u, d = _sorted_updates(sel_ids, sel_dists, ids[:bp_pad])
-            g = _reciprocal_update(g, t, u, d, level=lc, lm=cfg.m, metric=metric)
+            g = _reciprocal_update(
+                g, t, u, d, jnp.int32(lc), level0=False, lm=cfg.m, metric=metric
+            )
             prev_pool, bp_prev = pool_i, min(bp, n_valid)
         # greedy descent for every row (prefix rows' results are unused)
         _, seeds_all = search_layer(
-            g, q_all, seeds_all, level=lc, ef=1, expand=1, max_steps=128,
-            metric=metric,
+            g, q_all, seeds_all, jnp.int32(lc),
+            level0=False, ef=1, expand=1, max_steps=128, metric=metric,
         )
 
     # level 0: the whole wave
     if prev_pool is None:
         seeds0 = jnp.pad(seeds_all, ((0, 0), (0, efc - 1)), constant_values=sent)
     else:
-        joined = jnp.pad(
-            seeds_all[bp_prev:], ((0, 0), (0, efc - 1)), constant_values=sent
-        )
-        seeds0 = jnp.concatenate([prev_pool[:bp_prev], joined], axis=0)
+        pp = prev_pool
+        if pp.shape[0] < B:
+            pp = jnp.pad(
+                pp, ((0, B - pp.shape[0]), (0, 0)), constant_values=sent
+            )
+        seeds0 = _splice_seeds(pp, seeds_all, jnp.int32(bp_prev), jnp.int32(sent))
     pool_d, pool_i = search_layer(
-        g, q_all, seeds0, level=0, ef=efc, expand=E, metric=metric
+        g, q_all, seeds0, jnp.int32(0), level0=True, ef=efc, expand=E,
+        metric=metric,
     )
-    pool_d, pool_i = _mask_pool(pool_d, pool_i, jnp.int32(n_valid), sent, level=0)
+    pool_d, pool_i = _mask_pool(pool_d, pool_i, jnp.int32(n_valid), sent)
     if cfg.link_within_wave and n_valid > 1:
         wv, wi = _wave_link_candidates(
             q_all, ids, jnp.int32(n_valid), sent,
@@ -321,9 +376,9 @@ def insert_wave(
     sel_ids, sel_dists = S.select_neighbors(
         g, pool_i, pool_d, lm=cfg.m0, metric=metric
     )
-    # (pool width may exceed ef_construction here; level 0 is the last level,
-    # so the widened pool is never carried as seeds)
-    g = _write_own_lists(g, ids, slots, sel_ids, level=0)
+    g = _write_own_lists(g, ids, slots, sel_ids, jnp.int32(0), level0=True)
     t, u, d = _sorted_updates(sel_ids, sel_dists, ids)
-    g = _reciprocal_update(g, t, u, d, level=0, lm=cfg.m0, metric=metric)
+    g = _reciprocal_update(
+        g, t, u, d, jnp.int32(0), level0=True, lm=cfg.m0, metric=metric
+    )
     return g

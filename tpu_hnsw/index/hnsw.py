@@ -142,7 +142,10 @@ class HnswIndex:
 
     def _insert_wave(self, x: np.ndarray, levels: np.ndarray) -> None:
         bsz = x.shape[0]
-        bpad = B.next_pow2(bsz)
+        # every wave pads to ONE static bucket so a whole build compiles a
+        # single set of kernels (ramp waves waste some compute, but a
+        # compile costs far more than a padded wave)
+        bpad = B.next_pow2(self.cfg.wave_size)
         order = np.argsort(-levels, kind="stable")  # sort wave by level desc
         x_sorted = x[order]
         lv_sorted = levels[order]
@@ -243,18 +246,12 @@ class HnswIndex:
             levels=np.asarray(g.levels),
             deleted=np.asarray(g.deleted),
         )
+        import dataclasses
+
         meta = {
             "config": {
-                "dim": self.cfg.dim,
+                **dataclasses.asdict(self.cfg),
                 "metric": self.cfg.metric.value,
-                "m": self.cfg.m,
-                "ef_construction": self.cfg.ef_construction,
-                "max_elements": self.cfg.max_elements,
-                "dtype": self.cfg.dtype,
-                "max_level": self.cfg.max_level,
-                "wave_size": self.cfg.wave_size,
-                "expand_per_step": self.cfg.expand_per_step,
-                "seed": self.cfg.seed,
             },
             "n": self.n,
             "n_upper": self.n_upper,
@@ -269,19 +266,9 @@ class HnswIndex:
     def load(cls, path: str) -> "HnswIndex":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        c = meta["config"]
-        cfg = HnswConfig(
-            dim=c["dim"],
-            metric=Metric(c["metric"]),
-            m=c["m"],
-            ef_construction=c["ef_construction"],
-            max_elements=c["max_elements"],
-            dtype=c["dtype"],
-            max_level=c["max_level"],
-            wave_size=c["wave_size"],
-            expand_per_step=c["expand_per_step"],
-            seed=c["seed"],
-        )
+        c = dict(meta["config"])
+        c["metric"] = Metric(c["metric"])
+        cfg = HnswConfig(**c)
         idx = cls(cfg, capacity=meta["capacity"])
         z = np.load(os.path.join(path, "graph.npz"))
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32

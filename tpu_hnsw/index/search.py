@@ -22,6 +22,13 @@ Termination matches the reference: a query goes inactive when its best
 unexpanded candidate is farther than its worst pooled result (the
 ``d_c > f`` break in ``HnswSearchLayer``), with a static step bound for
 the XLA while-loop.
+
+Compile-friendliness: the upper-level variant takes the level as a
+*dynamic* scalar (adjacency rows are gathered [L, m] per element and the
+level column selected on-device), so one compiled kernel serves every
+upper level; only level 0 (different degree) is a second kernel. The full
+query search (greedy descent over a dynamic number of upper levels + the
+level-0 beam) is a single jit.
 """
 
 from __future__ import annotations
@@ -37,6 +44,21 @@ from tpu_hnsw.ops import distance as D
 from tpu_hnsw.ops import topk as T
 
 INF = jnp.float32(jnp.inf)
+
+
+def _neighbor_rows(g: G.HnswGraph, ids: jax.Array, level0: bool, level) -> jax.Array:
+    """Adjacency rows for ids at a level. ``level0`` is static; for upper
+    levels ``level`` is a traced scalar: the [L, m] stack is gathered per
+    element and the level column picked on-device (upper tables are ~n/m
+    elements, so the L-times-wider gather is still cheap)."""
+    if level0:
+        return jnp.take(g.neighbors0, ids, axis=0, mode="clip")
+    slots = jnp.take(g.upper_slot, ids, axis=0, mode="clip")
+    rows = jnp.take(g.upper_nbrs, slots, axis=0, mode="clip")  # [..., L, m]
+    lvl = jnp.clip(level - 1, 0, g.upper_nbrs.shape[1] - 1)
+    return jax.lax.dynamic_index_in_dim(
+        jnp.moveaxis(rows, -2, 0), lvl, axis=0, keepdims=False
+    )
 
 
 def init_pool(
@@ -61,32 +83,22 @@ def init_pool(
     return pool_d, pool_i
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("level", "ef", "expand", "max_steps", "metric", "skip_deleted"),
-)
-def search_layer(
+def _search_layer_body(
     g: G.HnswGraph,
     q: jax.Array,
     init_ids: jax.Array,
+    level,
     *,
-    level: int,
+    level0: bool,
     ef: int,
-    expand: int = 1,
-    max_steps: int = 0,
-    metric: Metric = Metric.L2,
-    skip_deleted: bool = True,
+    expand: int,
+    max_steps: int,
+    metric: Metric,
+    skip_deleted: bool,
 ) -> tuple[jax.Array, jax.Array]:
-    """ef-bounded beam search at one (static) level.
-
-    q: [Q, d] (storage dtype), init_ids: [Q, S] seed element ids.
-    Returns (pool_dists [Q, ef], pool_ids [Q, ef]) sorted ascending;
-    sentinel ids carry +inf.
-    """
-    if max_steps <= 0:
-        max_steps = 2 * ef + 16
-    E = min(expand, ef)  # cannot expand more candidates than the pool holds
-    deg = g.neighbors0.shape[1] if level == 0 else g.upper_nbrs.shape[2]
+    """Trace-time body shared by the jitted entry points."""
+    E = min(expand, ef)
+    deg = g.neighbors0.shape[1] if level0 else g.upper_nbrs.shape[2]
     sent = g.sentinel
     Q = q.shape[0]
     H = max_steps * E
@@ -103,9 +115,7 @@ def search_layer(
         valid = pool_i != sent
         unexp = valid & ~pool_x
         min_unexp = jnp.min(jnp.where(unexp, pool_d, INF), axis=1)
-        pool_max = jnp.max(jnp.where(valid, pool_d, INF), axis=1)
-        # pool not yet full of valid entries -> pool_max is +inf -> active
-        pool_max = jnp.where(jnp.all(valid, axis=1), pool_max, INF)
+        pool_max = jnp.where(jnp.all(valid, axis=1), jnp.max(pool_d, axis=1), INF)
         active = jnp.any(unexp, axis=1) & (min_unexp <= pool_max)
         return (step < max_steps) & jnp.any(active)
 
@@ -113,9 +123,7 @@ def search_layer(
         pool_d, pool_i, pool_x, hist, step = state
         valid = pool_i != sent
         unexp = valid & ~pool_x
-        pool_max = jnp.where(
-            jnp.all(valid, axis=1), jnp.max(pool_d, axis=1), INF
-        )
+        pool_max = jnp.where(jnp.all(valid, axis=1), jnp.max(pool_d, axis=1), INF)
 
         # pick E best unexpanded candidates within the termination bound
         masked = jnp.where(unexp, pool_d, INF)
@@ -132,7 +140,7 @@ def search_layer(
         hist = jax.lax.dynamic_update_slice(hist, e_ids, (0, step * E))
 
         # batched adjacency gather (the per-hop "page read")
-        nbrs = G.neighbor_rows(g, e_ids, level).reshape(Q, E * deg)
+        nbrs = _neighbor_rows(g, e_ids, level0, level).reshape(Q, E * deg)
         fresh = nbrs != sent
         if skip_deleted:
             fresh &= ~jnp.take(g.deleted, nbrs, mode="clip")
@@ -163,27 +171,98 @@ def search_layer(
     return pool_d, pool_i
 
 
-def descend(
+@functools.partial(
+    jax.jit,
+    static_argnames=("level0", "ef", "expand", "max_steps", "metric", "skip_deleted"),
+)
+def search_layer(
     g: G.HnswGraph,
     q: jax.Array,
-    entry: int,
-    entry_level: int,
-    down_to: int,
-    metric: Metric,
+    init_ids: jax.Array,
+    level=0,
+    *,
+    level0: bool = True,
+    ef: int,
     expand: int = 1,
-) -> jax.Array:
-    """Greedy descent (ef=1 search per level, upstream FindElementNeighbors
-    upper-level loop) from the entry point to level ``down_to``.
+    max_steps: int = 0,
+    metric: Metric = Metric.L2,
+    skip_deleted: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """ef-bounded beam search at one level (jit entry point).
 
-    Returns seed ids [Q, 1] for the next lower level.
+    q: [Q, d] (storage dtype), init_ids: [Q, S] seed ids; ``level`` is a
+    dynamic scalar used only when ``level0=False``.
+    Returns (pool_dists [Q, ef], pool_ids [Q, ef]) sorted ascending;
+    sentinel ids carry +inf.
     """
+    if max_steps <= 0:
+        max_steps = 2 * ef + 16
+    return _search_layer_body(
+        g,
+        q,
+        init_ids,
+        level,
+        level0=level0,
+        ef=ef,
+        expand=expand,
+        max_steps=max_steps,
+        metric=metric,
+        skip_deleted=skip_deleted,
+    )
+
+
+def _descend_body(
+    g: G.HnswGraph,
+    q: jax.Array,
+    entry,
+    entry_level,
+    down_to,
+    metric: Metric,
+    max_steps: int = 128,
+):
+    """Greedy descent (ef=1 per level, upstream FindElementNeighbors upper-
+    level loop) from a dynamic entry level down to ``down_to`` (exclusive),
+    as a traced fori loop — one compile for any entry level."""
     Q = q.shape[0]
     seeds = jnp.full((Q, 1), entry, dtype=jnp.int32)
-    for lc in range(entry_level, down_to, -1):
-        _, seeds = search_layer(
-            g, q, seeds, level=lc, ef=1, expand=expand, max_steps=128, metric=metric
-        )
-    return seeds
+    L = g.upper_nbrs.shape[1]
+
+    def body(i, seeds):
+        lvl = entry_level - i
+        def run(s):
+            _, out = _search_layer_body(
+                g, q, s, lvl, level0=False, ef=1, expand=1,
+                max_steps=max_steps, metric=metric, skip_deleted=True,
+            )
+            return out
+        return jax.lax.cond(lvl > down_to, run, lambda s: s, seeds)
+
+    return jax.lax.fori_loop(0, L, body, seeds)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "expand", "max_steps", "metric"),
+)
+def _search_jit(
+    g: G.HnswGraph,
+    queries: jax.Array,
+    entry,
+    entry_level,
+    *,
+    k: int,
+    ef: int,
+    expand: int,
+    max_steps: int,
+    metric: Metric,
+):
+    q = queries.astype(g.vectors.dtype)
+    seeds = _descend_body(g, q, entry, entry_level, 0, metric)
+    pool_d, pool_i = _search_layer_body(
+        g, q, seeds, 0, level0=True, ef=ef, expand=expand,
+        max_steps=max_steps, metric=metric, skip_deleted=True,
+    )
+    return pool_d[:, :k], pool_i[:, :k]
 
 
 def search(
@@ -199,16 +278,37 @@ def search(
     max_steps: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Full query search (upstream hnswscan.c GetScanItems): greedy descent
-    through upper levels then an ef_search-bounded level-0 beam.
+    through upper levels then an ef_search-bounded level-0 beam — one
+    compiled program per (Q, ef, k) bucket.
 
     Returns (scores [Q, k] ascending, ids [Q, k]); internal score units
     (see ops.distance.score_to_distance).
     """
     ef = max(ef_search, k)
-    q = queries.astype(g.vectors.dtype)
-    seeds = descend(g, q, entry, entry_level, 0, metric, expand)
-    pool_d, pool_i = search_layer(
-        g, q, seeds, level=0, ef=ef, expand=expand,
-        max_steps=max_steps, metric=metric,
+    if max_steps <= 0:
+        max_steps = 2 * ef + 16
+    return _search_jit(
+        g,
+        queries,
+        jnp.int32(entry),
+        jnp.int32(entry_level),
+        k=k,
+        ef=ef,
+        expand=expand,
+        max_steps=max_steps,
+        metric=metric,
     )
-    return pool_d[:, :k], pool_i[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("down_to", "metric"))
+def descend(
+    g: G.HnswGraph,
+    q: jax.Array,
+    entry,
+    entry_level,
+    *,
+    down_to: int = 0,
+    metric: Metric = Metric.L2,
+) -> jax.Array:
+    """Standalone greedy-descent helper (build path and tests)."""
+    return _descend_body(g, q, entry, entry_level, down_to, metric)

@@ -1,0 +1,90 @@
+"""TPU k-means — the centroid machinery.
+
+The reference's IVFFlat k-means (upstream ``pgvector:src/ivfkmeans.c``:
+sampled k-means++ seeding + Elkan-accelerated Lloyd iterations, used for
+``ivfflat.lists`` centroids) reformulated for the MXU: assignment is one
+blockwise [N, K] distance matmul per iteration, update is a segment-sum.
+Used here as the centroid router for partitioned indexes
+(/root/repo/BASELINE.json:11) and as the core of the IVFFlat index type.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_hnsw.config import Metric
+from tpu_hnsw.ops import distance as D
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _assign(x, x_sq, centroids, k):
+    """Nearest centroid per row (L2)."""
+    c_sq = D.squared_norms(centroids)
+    scores = (
+        x_sq[:, None]
+        + c_sq[None, :]
+        - 2.0
+        * jax.lax.dot_general(
+            x, centroids.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    return jnp.argmin(scores, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _update(x, assign, k):
+    """Mean of each cluster (segment sum / count)."""
+    sums = jax.ops.segment_sum(x.astype(jnp.float32), assign, num_segments=k)
+    counts = jax.ops.segment_sum(
+        jnp.ones((x.shape[0],), jnp.float32), assign, num_segments=k
+    )
+    return sums / jnp.maximum(counts, 1.0)[:, None], counts
+
+
+def kmeans(
+    data: np.ndarray,
+    k: int,
+    iters: int = 10,
+    seed: int = 0,
+    sample: int | None = 262144,
+    balance: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd's k-means with random-sample init (the TPU stand-in for
+    pgvector's sampled k-means++; iterations dominate quality at these k).
+
+    Returns (centroids [k, d] f32, assignment [N] int32). ``balance``
+    re-seeds empty clusters from the largest cluster's points, mirroring
+    IVFFlat's split of empty lists.
+    """
+    data = np.asarray(data, np.float32)
+    n = data.shape[0]
+    rng = np.random.default_rng(seed)
+    train = data
+    if sample is not None and n > sample:
+        train = data[rng.choice(n, sample, replace=False)]
+    x = jnp.asarray(train)
+    x_sq = D.squared_norms(x)
+    centroids = jnp.asarray(train[rng.choice(train.shape[0], k, replace=False)])
+    for _ in range(iters):
+        a = _assign(x, x_sq, centroids, k)
+        centroids, counts = _update(x, a, k)
+        if balance:
+            counts_np = np.asarray(counts)
+            empty = np.where(counts_np < 1)[0]
+            if len(empty):
+                cn = np.array(centroids)
+                cn[empty] = train[rng.choice(train.shape[0], len(empty))]
+                centroids = jnp.asarray(cn)
+    # final assignment over the full dataset, blockwise
+    full = jnp.asarray(data)
+    full_sq = D.squared_norms(full)
+    out = []
+    step = 1 << 18
+    for s in range(0, n, step):
+        out.append(np.asarray(_assign(full[s : s + step], full_sq[s : s + step], centroids, k)))
+    return np.asarray(centroids), np.concatenate(out) if out else np.zeros(0, np.int32)

@@ -1,0 +1,380 @@
+"""Partitioned HNSW — the fork's defining capability.
+
+The reference repo is a pgvector fork focused on *HNSW partitioning*
+(SURVEY.md §1.2 L8; /root/repo/BASELINE.json:5,10,11): sharding one
+logical index into per-partition sub-indexes with routed queries and a
+global top-k merge. Here that is first-class and TPU-native:
+
+- **hash partitioning** (config D): round-robin/hash assignment, queries
+  fan out to every partition;
+- **centroid partitioning** (config E): TPU k-means centroids
+  (:mod:`.kmeans`, the IVFFlat-lineage router), vectors live with their
+  nearest centroid, queries visit only the ``route_k`` nearest partitions;
+- **merge**: per-partition top-k lists reduced by
+  :func:`tpu_hnsw.ops.topk.kway_merge_topk` — on a device mesh the lists
+  ride an ``all_gather`` over ICI (``jax.shard_map``), the TPU-native
+  replacement of the reference's single-node shared-memory parallelism
+  (SURVEY.md §2.3).
+
+Two execution modes:
+
+- *host-loop* (default, any device count): sub-indexes searched in
+  sequence, merged on host — config D's one-chip many-partition mode;
+- *mesh* (``sharded()``): sub-index state stacked along a leading
+  partition axis, sharded over a ``Mesh``, one search per device under
+  ``shard_map`` + collective merge — config E's v5e-8 mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_hnsw.config import HnswConfig, Metric, validate_ef_search
+from tpu_hnsw.index import graph as G
+from tpu_hnsw.index.hnsw import HnswIndex
+from tpu_hnsw.index.search import _search_layer_body, _descend_body
+from tpu_hnsw.ops import distance as D
+from tpu_hnsw.ops import topk as T
+from tpu_hnsw.parallel import kmeans as KM
+
+
+class HashRouter:
+    """Round-robin/hash assignment; queries broadcast to all partitions."""
+
+    kind = "hash"
+
+    def __init__(self, n_partitions: int):
+        self.p = n_partitions
+
+    def assign(self, data: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        return (ids % self.p).astype(np.int32)
+
+    def route(self, queries: np.ndarray, route_k: int) -> np.ndarray:
+        q = queries.shape[0]
+        return np.tile(np.arange(self.p, dtype=np.int32), (q, 1))
+
+
+class CentroidRouter:
+    """k-means centroid assignment; queries visit the route_k nearest
+    partitions (the IVFFlat ``probes`` analogue, upstream
+    ``pgvector:src/ivfscan.c``)."""
+
+    kind = "centroid"
+
+    def __init__(self, n_partitions: int, centroids: np.ndarray | None = None):
+        self.p = n_partitions
+        self.centroids = centroids
+
+    def fit(self, data: np.ndarray, seed: int = 0, iters: int = 10) -> np.ndarray:
+        self.centroids, assign = KM.kmeans(data, self.p, iters=iters, seed=seed)
+        return assign
+
+    def assign(self, data: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        if self.centroids is None:
+            return self.fit(data)
+        c = jnp.asarray(self.centroids)
+        x = jnp.asarray(data, jnp.float32)
+        sc = D.pairwise_scores(x, c, Metric.L2)
+        return np.asarray(jnp.argmin(sc, axis=1), np.int32)
+
+    def route(self, queries: np.ndarray, route_k: int) -> np.ndarray:
+        sc = D.pairwise_scores(
+            jnp.asarray(queries, jnp.float32), jnp.asarray(self.centroids), Metric.L2
+        )
+        k = min(route_k or self.p, self.p)
+        _, idx = T.topk_smallest(sc, k)
+        return np.asarray(idx, np.int32)
+
+
+class PartitionedHnswIndex:
+    """P per-partition HNSW sub-indexes behind one logical index."""
+
+    def __init__(
+        self,
+        config: HnswConfig,
+        n_partitions: int,
+        router: str = "hash",
+        capacity: int | None = None,
+        route_k: int = 0,  # 0 = search all partitions
+    ):
+        self.cfg = config
+        self.p = n_partitions
+        self.route_k = route_k
+        self.router = (
+            HashRouter(n_partitions) if router == "hash" else CentroidRouter(n_partitions)
+        )
+        self.parts: list[HnswIndex] = []
+        self.capacity = capacity
+        # global id -> (partition, local id)
+        self._part_of = np.zeros(0, np.int32)
+        self._local_of = np.zeros(0, np.int32)
+        self.n = 0
+
+    # ----------------------------------------------------------------- build
+    def build(self, data) -> "PartitionedHnswIndex":
+        data = np.asarray(data, np.float32)
+        n = data.shape[0]
+        ids = np.arange(n)
+        if isinstance(self.router, CentroidRouter) and self.router.centroids is None:
+            assign = self.router.fit(data, seed=self.cfg.seed)
+        else:
+            assign = self.router.assign(data, ids)
+        self._part_of = assign.copy()
+        self._local_of = np.zeros(n, np.int32)
+        self.parts = []
+        for p in range(self.p):
+            rows = np.where(assign == p)[0]
+            self._local_of[rows] = np.arange(len(rows), dtype=np.int32)
+            # size each shard for its actual load (+20% insert headroom);
+            # centroid partitions can be heavily skewed
+            per_cap = max(64, int(1.2 * len(rows)) + 64)
+            sub = HnswIndex(self.cfg, capacity=per_cap)
+            sub._global_ids = rows.astype(np.int32)  # local -> global
+            if len(rows):
+                sub.build(data[rows])
+            self.parts.append(sub)
+        self.n = n
+        return self
+
+    # ---------------------------------------------------------------- search
+    def search(self, queries, k: int = 10, ef_search: int = 40, route_k: int | None = None):
+        """Routed per-partition search + global k-way top-k merge
+        (host-loop mode)."""
+        validate_ef_search(max(ef_search, k))
+        queries = np.asarray(queries, np.float32)
+        route_k = self.route_k if route_k is None else route_k
+        routes = self.router.route(queries, route_k)  # [Q, R]
+        nq = queries.shape[0]
+        r = routes.shape[1]
+        all_d = np.full((nq, self.p, k), np.inf, np.float32)
+        all_i = np.full((nq, self.p, k), -1, np.int64)
+        for p in range(self.p):
+            mask = (routes == p).any(axis=1)
+            if not mask.any() or self.parts[p].n == 0:
+                continue
+            d, ids = self.parts[p].search(queries[mask], k=k, ef_search=ef_search)
+            glob = np.where(ids >= 0, self.parts[p]._global_ids[np.clip(ids, 0, None)], -1)
+            all_d[mask, p, :] = np.where(ids >= 0, d, np.inf)
+            all_i[mask, p, :] = glob
+        flat_d = all_d.reshape(nq, -1)
+        flat_i = all_i.reshape(nq, -1)
+        order = np.argsort(flat_d, axis=1)[:, :k]
+        return np.take_along_axis(flat_d, order, axis=1), np.take_along_axis(
+            flat_i, order, axis=1
+        )
+
+    # ------------------------------------------------------------------ mesh
+    def sharded(self, mesh: Mesh | None = None) -> "ShardedHnswSearcher":
+        return ShardedHnswSearcher(self, mesh)
+
+    # ----------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        for p, sub in enumerate(self.parts):
+            sub.save(os.path.join(path, f"part{p}"))
+            np.save(os.path.join(path, f"part{p}", "global_ids.npy"), sub._global_ids)
+        meta = {
+            "p": self.p,
+            "router": self.router.kind,
+            "route_k": self.route_k,
+            "n": self.n,
+        }
+        with open(os.path.join(path, "partitioned.json"), "w") as f:
+            json.dump(meta, f)
+        np.savez(
+            os.path.join(path, "router.npz"),
+            centroids=(
+                self.router.centroids
+                if isinstance(self.router, CentroidRouter)
+                else np.zeros(0)
+            ),
+            part_of=self._part_of,
+            local_of=self._local_of,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PartitionedHnswIndex":
+        with open(os.path.join(path, "partitioned.json")) as f:
+            meta = json.load(f)
+        sub0 = HnswIndex.load(os.path.join(path, "part0"))
+        idx = cls(sub0.cfg, meta["p"], router=meta["router"], route_k=meta["route_k"])
+        z = np.load(os.path.join(path, "router.npz"))
+        if meta["router"] == "centroid":
+            idx.router.centroids = z["centroids"]
+        idx._part_of, idx._local_of = z["part_of"], z["local_of"]
+        idx.n = meta["n"]
+        idx.parts = []
+        for p in range(meta["p"]):
+            sub = HnswIndex.load(os.path.join(path, f"part{p}"))
+            sub._global_ids = np.load(os.path.join(path, f"part{p}", "global_ids.npy"))
+            idx.parts.append(sub)
+        return idx
+
+
+class ShardedHnswSearcher:
+    """Mesh-parallel partitioned search: one partition per device,
+    ``shard_map`` + ICI ``all_gather`` top-k merge (config E).
+
+    Stacks every sub-index's device state along a leading partition axis
+    and shards that axis over the mesh; queries are replicated. Each
+    device runs the standard descent + level-0 beam on its local shard,
+    maps local ids to global, then the per-shard top-k lists are
+    all-gathered and reduced to the global top-k on every device.
+    """
+
+    AXIS = "shard"
+
+    def __init__(self, parent: PartitionedHnswIndex, mesh: Mesh | None = None):
+        self.parent = parent
+        p = parent.p
+        if mesh is None:
+            ndev = min(p, len(jax.devices()))
+            if p % ndev != 0:
+                ndev = 1
+            mesh = jax.make_mesh((ndev,), (self.AXIS,))
+        if p % mesh.shape[self.AXIS] != 0:
+            raise ValueError(
+                f"n_partitions={p} must be a multiple of mesh size "
+                f"{mesh.shape[self.AXIS]}"
+            )
+        self.mesh = mesh
+        self._assemble()
+
+    def _assemble(self):
+        parts = self.parent.parts
+        cap = max(sub.graph.cap for sub in parts)
+        cap_u = max(sub.graph.cap_upper for sub in parts)
+        cfg = self.parent.cfg
+
+        def pad_graph(sub: HnswIndex) -> tuple:
+            g = sub.graph
+            pc = cap - g.cap
+            pu = cap_u - g.cap_upper
+
+            def pad_rows(a, extra, fill):
+                if extra == 0:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.full((extra, *a.shape[1:]), fill, a.dtype)], axis=0
+                )
+
+            # re-point sentinels from old cap to new cap
+            nbr0 = jnp.where(g.neighbors0 == g.cap, cap, g.neighbors0)
+            upn = jnp.where(g.upper_nbrs == g.cap, cap, g.upper_nbrs)
+            ups = jnp.where(g.upper_slot == g.cap_upper, cap_u, g.upper_slot)
+            gid = jnp.asarray(
+                np.pad(sub._global_ids, (0, cap + 1 - len(sub._global_ids)),
+                       constant_values=-1)
+            )
+            return (
+                pad_rows(g.vectors, pc, 0),
+                pad_rows(g.vectors_sq, pc, 0),
+                pad_rows(nbr0, pc, cap),
+                pad_rows(upn, pu, cap),
+                pad_rows(ups, pc, cap_u),
+                pad_rows(g.levels, pc, 0),
+                pad_rows(g.deleted, pc, False),
+                gid,
+            )
+
+        stacked = [pad_graph(s) for s in parts]
+        arrays = [jnp.stack([s[i] for s in stacked]) for i in range(8)]
+        shardings = NamedSharding(self.mesh, P(self.AXIS))
+        arrays = [jax.device_put(a, shardings) for a in arrays]
+        (self.vectors, self.vectors_sq, self.nbr0, self.upn, self.ups,
+         self.levels, self.deleted, self.gids) = arrays
+        self.entries = jax.device_put(
+            jnp.asarray([s.entry for s in parts], jnp.int32), shardings
+        )
+        self.entry_levels = jax.device_put(
+            jnp.asarray([max(s.entry_level, 0) for s in parts], jnp.int32), shardings
+        )
+        if isinstance(self.parent.router, CentroidRouter):
+            self.centroids = jnp.asarray(self.parent.router.centroids)
+        else:
+            self.centroids = None
+        self._fn_cache = {}
+
+    def _make_fn(self, k: int, ef: int, expand: int, max_steps: int, route_k: int):
+        cfg = self.parent.cfg
+        metric = cfg.metric
+        p = self.parent.p
+        mesh_n = self.mesh.shape[self.AXIS]
+        local_p = p // mesh_n
+        axis = self.AXIS
+
+        def shard_body(vectors, vectors_sq, nbr0, upn, ups, levels, deleted,
+                       gids, entries, entry_levels, queries, routes):
+            # per-device: loop over its local partitions (usually 1)
+            outs_d, outs_i = [], []
+            my = jax.lax.axis_index(axis)
+            for lp in range(local_p):
+                g = G.HnswGraph(
+                    vectors=vectors[lp], vectors_sq=vectors_sq[lp],
+                    neighbors0=nbr0[lp], upper_nbrs=upn[lp],
+                    upper_slot=ups[lp], levels=levels[lp], deleted=deleted[lp],
+                )
+                q = queries.astype(g.vectors.dtype)
+                seeds = _descend_body(g, q, entries[lp], entry_levels[lp], 0, metric)
+                pool_d, pool_i = _search_layer_body(
+                    g, q, seeds, 0, level0=True, ef=ef, expand=expand,
+                    max_steps=max_steps, metric=metric, skip_deleted=True,
+                )
+                d, i = pool_d[:, :k], pool_i[:, :k]
+                glob = jnp.take(gids[lp], i, mode="clip")
+                # routed-query masking: partitions not selected for a query
+                # contribute +inf
+                pid = my * local_p + lp
+                selected = jnp.any(routes == pid, axis=1)  # [Q]
+                d = jnp.where(selected[:, None], d, jnp.inf)
+                glob = jnp.where(selected[:, None] & (i != g.cap), glob, -1)
+                d = jnp.where(glob < 0, jnp.inf, d)
+                outs_d.append(d)
+                outs_i.append(glob)
+            d = jnp.stack(outs_d, axis=1).reshape(queries.shape[0], local_p * k)
+            i = jnp.stack(outs_i, axis=1).reshape(queries.shape[0], local_p * k)
+            # global top-k merge over ICI
+            d_all = jax.lax.all_gather(d, axis)  # [mesh_n, Q, local_p*k]
+            i_all = jax.lax.all_gather(i, axis)
+            d_all = jnp.moveaxis(d_all, 0, 1).reshape(queries.shape[0], -1)
+            i_all = jnp.moveaxis(i_all, 0, 1).reshape(queries.shape[0], -1)
+            vals, sel = T.topk_smallest(d_all, k)
+            return vals, jnp.take_along_axis(i_all, sel, axis=1)
+
+        spec_sh = P(self.AXIS)
+        spec_rep = P()
+        fn = jax.shard_map(
+            shard_body,
+            mesh=self.mesh,
+            in_specs=(spec_sh,) * 10 + (spec_rep, spec_rep),
+            out_specs=(spec_rep, spec_rep),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries, k: int = 10, ef_search: int = 40,
+               route_k: int | None = None, expand: int = 1):
+        cfg = self.parent.cfg
+        queries = np.asarray(queries, np.float32)
+        if cfg.metric.needs_normalized:
+            n = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(n, 1e-12)
+        route_k = self.parent.route_k if route_k is None else route_k
+        routes = self.parent.router.route(queries, route_k)
+        ef = max(ef_search, k)
+        key = (k, ef, expand, routes.shape[1])
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._make_fn(k, ef, expand, 2 * ef + 16,
+                                                route_k)
+        fn = self._fn_cache[key]
+        d, i = fn(self.vectors, self.vectors_sq, self.nbr0, self.upn, self.ups,
+                  self.levels, self.deleted, self.gids, self.entries,
+                  self.entry_levels, jnp.asarray(queries), jnp.asarray(routes))
+        d = np.asarray(D.score_to_distance(d, cfg.metric))
+        return d, np.asarray(i)
