@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+North-star metric (/root/repo/BASELINE.json:2): QPS/chip at
+recall@10 >= 0.95 on SIFT1M-class data (128-d L2, m=16,
+ef_construction=64), baseline target 50,000 QPS/chip. Build throughput
+(target 100,000 vec/s) is reported in "extra".
+
+Real SIFT files are used when present under $TPU_HNSW_DATA; otherwise a
+synthetic clustered stand-in of the same shape is generated (this
+environment has no network access). Size via $TPU_HNSW_BENCH_N
+(default 200k — SIFT1M shape at a round-1-friendly scale).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("TPU_HNSW_BENCH_N", 200_000))
+    dim = int(os.environ.get("TPU_HNSW_BENCH_D", 128))
+    n_queries = int(os.environ.get("TPU_HNSW_BENCH_Q", 2048))
+    wave = int(os.environ.get("TPU_HNSW_WAVE", 4096))
+    build_expand = int(os.environ.get("TPU_HNSW_BUILD_EXPAND", 4))
+    search_expand = int(os.environ.get("TPU_HNSW_SEARCH_EXPAND", 2))
+    target_recall = float(os.environ.get("TPU_HNSW_TARGET_RECALL", 0.95))
+
+    from tpu_hnsw import FlatIndex, HnswConfig, HnswIndex, Metric
+    from tpu_hnsw.io.datasets import load_or_synthesize, synthetic_clustered
+    from tpu_hnsw.utils.evalharness import qps_at_recall
+    from tpu_hnsw.utils.recall import recall_at_k
+
+    data_dir = os.environ.get("TPU_HNSW_DATA")
+    if data_dir and n >= 1_000_000:
+        base, queries, _ = load_or_synthesize("sift1m", data_dir)
+        base, queries = base[:n], queries[:n_queries]
+    else:
+        base, queries = synthetic_clustered(n, dim, n_queries=n_queries, seed=42)
+
+    cfg = HnswConfig(
+        dim=dim,
+        m=16,
+        ef_construction=64,
+        wave_size=wave,
+        seed=0,
+        build_expand_per_step=build_expand,
+        expand_per_step=search_expand,
+    )
+    idx = HnswIndex(cfg, capacity=n)
+
+    # warm the build kernels on a small prefix so the timed region measures
+    # steady-state throughput, not XLA compilation
+    warm = min(4 * wave, max(n // 10, wave))
+    t0 = time.perf_counter()
+    idx.add(base[:warm])
+    t_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.add(base[warm:])
+    t_build = time.perf_counter() - t0
+    build_vps = (n - warm) / t_build if n > warm else warm / t_warm
+
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10)[1]
+    qps, recall, ef = qps_at_recall(idx, queries, gt, target=target_recall, k=10)
+
+    result = {
+        "metric": f"qps_per_chip_at_recall10>={target_recall}",
+        "value": round(float(qps), 1),
+        "unit": "qps",
+        "vs_baseline": round(float(qps) / 50_000.0, 4),
+        "extra": {
+            "n": n,
+            "dim": dim,
+            "recall_at_10": round(float(recall), 4),
+            "ef_search": ef,
+            "recall_target_met": bool(recall >= target_recall),
+            "build_vectors_per_sec": round(build_vps, 1),
+            "build_vs_baseline": round(build_vps / 100_000.0, 4),
+            "warmup_s": round(t_warm, 1),
+            "build_s": round(t_build, 1),
+            "wave_size": wave,
+            "dataset": "sift1m" if data_dir and n >= 1_000_000 else "synthetic-clustered",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

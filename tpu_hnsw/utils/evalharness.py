@@ -1,0 +1,65 @@
+"""Evaluation harness — emits the BASELINE.md metric rows.
+
+The structured-metrics analogue of the reference's observability story
+(EXPLAIN ANALYZE / pg_stat progress phases, SURVEY.md §5): build
+throughput, recall/QPS over an ef_search sweep, and the ef needed to hit a
+recall target, as plain dicts ready for JSON.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from tpu_hnsw.index.flat import FlatIndex
+from tpu_hnsw.utils.recall import recall_at_k
+
+
+def ground_truth(base, queries, k, metric):
+    return FlatIndex(base, metric).search(queries, k=k)[1]
+
+
+def measure_qps(index, queries, k, ef_search, repeats: int = 3):
+    """Warm, then median wall-clock over repeats."""
+    index.search(queries[: min(len(queries), 8)], k=k, ef_search=ef_search)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, ids = index.search(queries, k=k, ef_search=ef_search)
+        times.append(time.perf_counter() - t0)
+    return len(queries) / float(np.median(times)), ids
+
+
+def sweep(index, queries, gt, k=10, efs=(10, 20, 40, 80, 120, 200, 400)):
+    """recall/QPS curve over ef_search (BASELINE config B protocol)."""
+    rows = []
+    for ef in efs:
+        if ef < k:
+            continue
+        qps, ids = measure_qps(index, queries, k, ef)
+        rows.append(
+            {"ef_search": ef, "recall": recall_at_k(ids, gt, k), "qps": qps}
+        )
+    return rows
+
+
+def qps_at_recall(index, queries, gt, target=0.95, k=10,
+                  efs=(10, 20, 40, 60, 80, 120, 160, 240, 320, 400)):
+    """Smallest-ef point on the sweep meeting the recall target.
+
+    Returns (qps, recall, ef) or the best-recall point if the target is
+    never met (qps reported at that point, recall < target flags it).
+    """
+    best = None
+    for ef in efs:
+        if ef < k:
+            continue
+        qps, ids = measure_qps(index, queries, k, ef)
+        r = recall_at_k(ids, gt, k)
+        row = (qps, r, ef)
+        if r >= target:
+            return row
+        if best is None or r > best[1]:
+            best = row
+    return best
