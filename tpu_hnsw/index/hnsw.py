@@ -230,6 +230,132 @@ class HnswIndex:
         g = self.graph
         self.graph = g._replace(deleted=g.deleted.at[ids].set(True, mode="drop"))
 
+    def compact(self) -> int:
+        """Graph repair after deletes — the VACUUM analogue (upstream
+        ``pgvector:src/hnswvacuum.c``): restore the entry point if it died,
+        then re-find neighbors for every element whose list references a
+        deleted element, as batched repair waves (search skips tombstones).
+
+        Tombstoned rows stay allocated (flat arrays have no page
+        reclamation); a save/load round-trip of live vectors into a fresh
+        index reclaims space. Returns the number of repaired elements.
+        """
+        from tpu_hnsw.index import select as SEL
+        from tpu_hnsw.index.search import search_layer
+
+        g = self.graph
+        sent = g.sentinel
+        deleted = np.asarray(g.deleted[: self.n])
+        if not deleted.any():
+            return 0
+        levels = np.asarray(g.levels[: self.n])
+        live = np.where(~deleted)[0]
+        if live.size == 0:
+            raise ValueError("cannot compact an index with every element deleted")
+        # entry repair (upstream RepairGraphEntryPoint)
+        if deleted[self.entry]:
+            j = live[levels[live].argmax()]
+            self.entry, self.entry_level = int(j), int(levels[j])
+
+        del_ext = np.append(deleted, False)  # sentinel row never "deleted"
+        repaired = 0
+        E = self.cfg.build_expand_per_step
+        for lc in range(self.entry_level, -1, -1):
+            if lc == 0:
+                adj = np.asarray(g.neighbors0[: self.n])
+                nodes = np.arange(self.n)
+            else:
+                slots_all = np.asarray(g.upper_slot[: self.n])
+                nodes = np.where((levels >= lc) & ~deleted)[0]
+                adj = np.asarray(g.upper_nbrs[:, lc - 1, :])[slots_all[nodes]]
+            safe = np.where(adj == sent, self.n, adj)
+            affected_rows = (del_ext[safe].any(axis=1)) & (
+                ~deleted[nodes] if lc == 0 else np.ones(len(nodes), bool)
+            )
+            targets = nodes[affected_rows] if lc > 0 else np.where(affected_rows)[0]
+            if targets.size == 0:
+                continue
+            repaired += int(targets.size) if lc == 0 else 0
+            bpad = B.next_pow2(len(targets))
+            ids_pad = np.full(bpad, sent, np.int32)
+            ids_pad[: len(targets)] = targets
+            qv = np.zeros((bpad, self.cfg.dim), np.float32)
+            qv[: len(targets)] = np.asarray(g.vectors[targets], np.float32)
+            qj = jnp.asarray(qv)
+            seeds = jnp.full((bpad, 1), self.entry, jnp.int32)
+            pool_d, pool_i = search_layer(
+                g, qj, seeds, jnp.int32(lc), level0=(lc == 0),
+                ef=self.cfg.ef_construction, expand=E, metric=self.cfg.metric,
+            )
+            # drop self-hits and invalid rows
+            idsj = jnp.asarray(ids_pad)
+            pool_i = jnp.where(pool_i == idsj[:, None], sent, pool_i)
+            pool_d = jnp.where(pool_i == sent, jnp.inf, pool_d)
+            pool_d, pool_i = B._mask_pool(
+                pool_d, pool_i, jnp.int32(len(targets)), sent
+            )
+            lm = self.cfg.layer_m(lc)
+            sel_ids, sel_dists = SEL.select_neighbors(
+                g, pool_i, pool_d, lm=lm, metric=self.cfg.metric
+            )
+            slots_pad = np.full(bpad, g.cap_upper, np.int32)
+            if lc > 0:
+                slots_pad[: len(targets)] = np.asarray(g.upper_slot[targets])
+            g = B._write_own_lists(
+                g, idsj, jnp.asarray(slots_pad), sel_ids, jnp.int32(lc),
+                level0=(lc == 0),
+            )
+            t, u, d = B._sorted_updates(sel_ids, sel_dists, idsj)
+            g = B._reciprocal_update(
+                g, t, u, d, jnp.int32(lc), level0=(lc == 0), lm=lm,
+                metric=self.cfg.metric,
+            )
+        self.graph = g
+        return repaired
+
+    # ------------------------------------------------------- iterative scan
+    def search_iterative(
+        self,
+        queries,
+        k: int = 10,
+        ef_search: int = 40,
+        predicate=None,
+        max_scan_tuples: int = 20000,
+    ):
+        """Iterative scan (upstream v0.8 ``hnsw.iterative_scan`` +
+        ``hnsw.max_scan_tuples``): when a filter rejects results, widen the
+        search (ef doubling) until k predicate-passing results are found or
+        the scan budget is exhausted.
+
+        ``predicate(ids) -> bool mask`` runs host-side (the executor-filter
+        analogue). Returns (distances, ids) with -1/inf padding when fewer
+        than k survive.
+        """
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        nq = queries.shape[0]
+        out_d = np.full((nq, k), np.inf, np.float32)
+        out_i = np.full((nq, k), -1, np.int64)
+        pending = np.arange(nq)
+        ef = max(ef_search, k)
+        while pending.size and ef <= max(self.cfg.ef_construction, 1000):
+            fetch = min(ef, 1000)
+            d, ids = self.search(queries[pending], k=fetch, ef_search=fetch)
+            mask = predicate(ids) if predicate is not None else ids >= 0
+            mask &= ids >= 0
+            still = []
+            for row, qi in enumerate(pending):
+                good = np.where(mask[row])[0][:k]
+                if len(good) >= k or fetch >= min(max_scan_tuples, 1000):
+                    out_d[qi, : len(good)] = d[row, good]
+                    out_i[qi, : len(good)] = ids[row, good]
+                else:
+                    still.append(row)
+            pending = pending[still]
+            ef *= 2
+        return out_d, out_i
+
     # ----------------------------------------------------------- persistence
     def save(self, path: str) -> None:
         """Persist full index state (the WAL/page-flush analogue is a single

@@ -1,0 +1,160 @@
+"""IVFFlat index — the reference's second index access method.
+
+Behavioral equivalent of upstream ``pgvector:src/ivf*.c``: k-means list
+centroids (``ivfflat.lists``, default 100), vectors stored per-list,
+probe-based scan (``ivfflat.probes``, default 1) with exact distances
+inside probed lists. TPU-native storage is a padded ``[lists, maxlen, d]``
+block tensor so a probe is one contiguous block gather + one MXU distance
+matmul per query batch — no per-tuple page reads.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_hnsw.config import Metric
+from tpu_hnsw.ops import distance as D
+from tpu_hnsw.ops import topk as T
+from tpu_hnsw.parallel import kmeans as KM
+
+IVF_DEFAULT_LISTS = 100  # upstream ivfflat default
+IVF_DEFAULT_PROBES = 1
+
+
+@functools.partial(jax.jit, static_argnames=("k", "probes", "metric"))
+def _probe_search(
+    vecs_by_list,  # [L, M, d]
+    ids_by_list,  # [L, M] int32 global ids, -1 padding
+    centroids,  # [L, d]
+    q,  # [Q, d]
+    k: int,
+    probes: int,
+    metric: Metric,
+):
+    Q = q.shape[0]
+    c_sc = D.pairwise_scores(q, centroids, Metric.L2)
+    _, top_lists = T.topk_smallest(c_sc, probes)  # [Q, probes]
+    best_d = jnp.full((Q, k), jnp.inf)
+    best_i = jnp.full((Q, k), -1, jnp.int32)
+
+    def body(p, carry):
+        best_d, best_i = carry
+        lists_p = top_lists[:, p]  # [Q]
+        block = jnp.take(vecs_by_list, lists_p, axis=0)  # [Q, M, d]
+        ids = jnp.take(ids_by_list, lists_p, axis=0)  # [Q, M]
+        sc = D.batched_scores(q, block, metric)
+        sc = jnp.where(ids < 0, jnp.inf, sc)
+        d2 = jnp.concatenate([best_d, sc], axis=1)
+        i2 = jnp.concatenate([best_i, ids], axis=1)
+        vals, sel = T.topk_smallest(d2, k)
+        return vals, jnp.take_along_axis(i2, sel, axis=1)
+
+    best_d, best_i = jax.lax.fori_loop(0, probes, body, (best_d, best_i))
+    return best_d, best_i
+
+
+class IvfFlatIndex:
+    """CREATE INDEX ... USING ivfflat analogue."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric = Metric.L2,
+        lists: int = IVF_DEFAULT_LISTS,
+        seed: int = 0,
+    ):
+        if lists < 1 or lists > 32768:
+            raise ValueError("lists must be in [1, 32768]")  # upstream range
+        self.dim = dim
+        self.metric = metric
+        self.lists = lists
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+        self.vecs_by_list = None  # [L, M, d]
+        self.ids_by_list = None  # [L, M]
+        self.n = 0
+
+    def build(self, data) -> "IvfFlatIndex":
+        data = np.asarray(data, np.float32)
+        if data.shape[1] != self.dim:
+            raise ValueError(f"expected {self.dim} dimensions, not {data.shape[1]}")
+        if self.metric.needs_normalized:
+            data = data / np.maximum(
+                np.linalg.norm(data, axis=1, keepdims=True), 1e-12
+            )
+        n = data.shape[0]
+        # upstream: kmeans over a sample (50 * lists cap), then assign all
+        self.centroids, assign = KM.kmeans(
+            data, self.lists, iters=10, seed=self.seed, sample=max(10000, 50 * self.lists)
+        )
+        counts = np.bincount(assign, minlength=self.lists)
+        maxlen = max(8, int(counts.max()))
+        # pad to a lane-friendly multiple
+        maxlen = ((maxlen + 127) // 128) * 128
+        vecs = np.zeros((self.lists, maxlen, self.dim), np.float32)
+        ids = np.full((self.lists, maxlen), -1, np.int32)
+        cursor = np.zeros(self.lists, np.int64)
+        for i in range(n):
+            l = assign[i]
+            vecs[l, cursor[l]] = data[i]
+            ids[l, cursor[l]] = i
+            cursor[l] += 1
+        self.vecs_by_list = jnp.asarray(vecs)
+        self.ids_by_list = jnp.asarray(ids)
+        self.n = n
+        return self
+
+    def search(self, queries, k: int = 10, probes: int = IVF_DEFAULT_PROBES):
+        if self.centroids is None:
+            raise ValueError("index is empty")
+        probes = max(1, min(probes, self.lists))
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        if self.metric.needs_normalized:
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        d, i = _probe_search(
+            self.vecs_by_list,
+            self.ids_by_list,
+            jnp.asarray(self.centroids),
+            jnp.asarray(q),
+            k,
+            probes,
+            self.metric,
+        )
+        return (
+            np.asarray(D.score_to_distance(d, self.metric)),
+            np.asarray(i),
+        )
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "ivf.npz"),
+            centroids=self.centroids,
+            vecs=np.asarray(self.vecs_by_list),
+            ids=np.asarray(self.ids_by_list),
+        )
+        with open(os.path.join(path, "ivf.json"), "w") as f:
+            json.dump(
+                {"dim": self.dim, "metric": self.metric.value,
+                 "lists": self.lists, "seed": self.seed, "n": self.n}, f
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "IvfFlatIndex":
+        with open(os.path.join(path, "ivf.json")) as f:
+            m = json.load(f)
+        idx = cls(m["dim"], Metric(m["metric"]), m["lists"], m["seed"])
+        z = np.load(os.path.join(path, "ivf.npz"))
+        idx.centroids = z["centroids"]
+        idx.vecs_by_list = jnp.asarray(z["vecs"])
+        idx.ids_by_list = jnp.asarray(z["ids"])
+        idx.n = m["n"]
+        return idx
