@@ -1,0 +1,173 @@
+// Native IO for tpu-hnsw: mmap'd TEXMEX (fvecs/bvecs/ivecs) parsing and
+// raw array blob IO, multithreaded.
+//
+// The reference is a C extension end-to-end (upstream pgvector src/*.c);
+// this file is the native runtime component of the TPU build: the
+// host-side data path (dataset parsing, index snapshot IO) where Python
+// overhead would dominate at LAION-100M scale (BASELINE config E).
+// Compute stays in XLA/Pallas; this is deliberately IO-only.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libtpuhnsw_io.so io_native.cpp -lpthread
+// Bound via ctypes (tpu_hnsw/io/native.py) — no pybind11 in this image.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+extern "C" {
+
+// Parse .fvecs (each row: int32 dim, float32[dim]) from `path` into `out`
+// (caller-allocated, rows*dim floats). Returns rows parsed, or -1 on error.
+// `expected_dim` 0 = take from file. Multithreaded repack over mmap.
+long fvecs_read(const char* path, float* out, long max_rows, int expected_dim,
+                int n_threads) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return -1; }
+  size_t size = (size_t)st.st_size;
+  if (size < 4) { close(fd); return -1; }
+  const uint8_t* base =
+      (const uint8_t*)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (base == MAP_FAILED) return -1;
+
+  int32_t dim;
+  memcpy(&dim, base, 4);
+  if (dim <= 0 || (expected_dim && dim != expected_dim)) {
+    munmap((void*)base, size);
+    return -1;
+  }
+  size_t row_bytes = 4 + (size_t)dim * 4;
+  long rows = (long)(size / row_bytes);
+  if (max_rows > 0 && rows > max_rows) rows = max_rows;
+
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  long per = (rows + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) {
+    long lo = t * per, hi = lo + per > rows ? rows : lo + per;
+    if (lo >= hi) break;
+    ts.emplace_back([=]() {
+      for (long r = lo; r < hi; ++r) {
+        memcpy(out + (size_t)r * dim, base + (size_t)r * row_bytes + 4,
+               (size_t)dim * 4);
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
+  munmap((void*)base, size);
+  return rows;
+}
+
+// Peek (rows, dim) of an fvecs file. Returns 0 on success.
+int fvecs_shape(const char* path, long* rows, int* dim) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return -1; }
+  int32_t d;
+  if (read(fd, &d, 4) != 4) { close(fd); return -1; }
+  close(fd);
+  if (d <= 0) return -1;
+  *dim = d;
+  *rows = (long)(st.st_size / (4 + (size_t)d * 4));
+  return 0;
+}
+
+// Parse .bvecs (int32 dim, uint8[dim]) into float32 out.
+long bvecs_read(const char* path, float* out, long max_rows, int n_threads) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return -1; }
+  size_t size = (size_t)st.st_size;
+  const uint8_t* base =
+      (const uint8_t*)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (base == MAP_FAILED) return -1;
+  int32_t dim;
+  memcpy(&dim, base, 4);
+  if (dim <= 0) { munmap((void*)base, size); return -1; }
+  size_t row_bytes = 4 + (size_t)dim;
+  long rows = (long)(size / row_bytes);
+  if (max_rows > 0 && rows > max_rows) rows = max_rows;
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  long per = (rows + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) {
+    long lo = t * per, hi = lo + per > rows ? rows : lo + per;
+    if (lo >= hi) break;
+    ts.emplace_back([=]() {
+      for (long r = lo; r < hi; ++r) {
+        const uint8_t* src = base + (size_t)r * row_bytes + 4;
+        float* dst = out + (size_t)r * dim;
+        for (int j = 0; j < dim; ++j) dst[j] = (float)src[j];
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
+  munmap((void*)base, size);
+  return rows;
+}
+
+// Raw blob write/read (index snapshot arrays), multithreaded pwrite/pread.
+long blob_write(const char* path, const uint8_t* data, long nbytes,
+                int n_threads) {
+  int fd = open(path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) return -1;
+  if (ftruncate(fd, nbytes) != 0) { close(fd); return -1; }
+  if (n_threads < 1) n_threads = 4;
+  long per = (nbytes + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  bool ok = true;
+  for (int t = 0; t < n_threads; ++t) {
+    long lo = t * per, hi = lo + per > nbytes ? nbytes : lo + per;
+    if (lo >= hi) break;
+    ts.emplace_back([=, &ok]() {
+      long off = lo;
+      while (off < hi) {
+        ssize_t w = pwrite(fd, data + off, (size_t)(hi - off), off);
+        if (w <= 0) { ok = false; return; }
+        off += w;
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
+  close(fd);
+  return ok ? nbytes : -1;
+}
+
+long blob_read(const char* path, uint8_t* data, long nbytes, int n_threads) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  if (n_threads < 1) n_threads = 4;
+  long per = (nbytes + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  bool ok = true;
+  for (int t = 0; t < n_threads; ++t) {
+    long lo = t * per, hi = lo + per > nbytes ? nbytes : lo + per;
+    if (lo >= hi) break;
+    ts.emplace_back([=, &ok]() {
+      long off = lo;
+      while (off < hi) {
+        ssize_t r = pread(fd, data + off, (size_t)(hi - off), off);
+        if (r <= 0) { ok = false; return; }
+        off += r;
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
+  close(fd);
+  return ok ? nbytes : -1;
+}
+
+}  // extern "C"

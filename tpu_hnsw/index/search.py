@@ -101,7 +101,12 @@ def _search_layer_body(
     deg = g.neighbors0.shape[1] if level0 else g.upper_nbrs.shape[2]
     sent = g.sentinel
     Q = q.shape[0]
-    H = max_steps * E
+    # History ring: bounded window of recent expansions. Re-scoring an
+    # expanded-then-pruned node that fell out of the window wastes only
+    # bandwidth — it can never re-enter the pool (pool entries are
+    # monotonically improving), so a small window is safe.
+    H = max(min(128, max_steps * E), E)
+    hist_slots = max(H // E, 1)
 
     qf = q
     q_sq = D.squared_norms(q)
@@ -136,8 +141,8 @@ def _search_layer_body(
         cur = jnp.take_along_axis(pool_x, pos, axis=1)
         pool_x = jnp.put_along_axis(pool_x, pos, cur | ok, axis=1, inplace=False)
 
-        # record in history ring
-        hist = jax.lax.dynamic_update_slice(hist, e_ids, (0, step * E))
+        # record in history ring (wraps after hist_slots steps)
+        hist = jax.lax.dynamic_update_slice(hist, e_ids, (0, (step % hist_slots) * E))
 
         # batched adjacency gather (the per-hop "page read")
         nbrs = _neighbor_rows(g, e_ids, level0, level).reshape(Q, E * deg)
@@ -147,12 +152,15 @@ def _search_layer_body(
         # dedup: vs pool, vs expansion history, vs earlier in this gather
         fresh &= ~jnp.any(nbrs[:, :, None] == pool_i[:, None, :], axis=2)
         fresh &= ~jnp.any(nbrs[:, :, None] == hist[:, None, :], axis=2)
-        g_dim = E * deg
-        earlier = (nbrs[:, :, None] == nbrs[:, None, :]) & (
-            jax.lax.broadcasted_iota(jnp.int32, (1, g_dim, g_dim), 2)
-            < jax.lax.broadcasted_iota(jnp.int32, (1, g_dim, g_dim), 1)
-        )
-        fresh &= ~jnp.any(earlier, axis=2)
+        if E > 1:
+            # two expanded nodes can share a neighbor; within ONE adjacency
+            # row ids are unique by graph invariant, so E=1 needs no pass
+            g_dim = E * deg
+            earlier = (nbrs[:, :, None] == nbrs[:, None, :]) & (
+                jax.lax.broadcasted_iota(jnp.int32, (1, g_dim, g_dim), 2)
+                < jax.lax.broadcasted_iota(jnp.int32, (1, g_dim, g_dim), 1)
+            )
+            fresh &= ~jnp.any(earlier, axis=2)
 
         # fused gather + distance (MXU)
         v, v_sq = G.gather_vectors(g, nbrs)

@@ -38,7 +38,10 @@ def pairwise_cand_scores(
     vecs: jax.Array, vecs_sq: jax.Array, metric: Metric
 ) -> jax.Array:
     """Inter-candidate scores [B, C, C] from gathered vectors [B, C, d]."""
-    dots = jnp.einsum("bid,bjd->bij", vecs, vecs, preferred_element_type=jnp.float32)
+    dots = jnp.einsum(
+        "bid,bjd->bij", vecs, vecs, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if metric is Metric.L2:
         return jnp.maximum(
             vecs_sq[:, :, None] + vecs_sq[:, None, :] - 2.0 * dots, 0.0

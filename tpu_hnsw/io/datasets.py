@@ -15,7 +15,15 @@ import numpy as np
 
 
 def read_fvecs(path: str, count: int | None = None) -> np.ndarray:
-    """Read .fvecs: each row is [int32 dim, float32 x dim]."""
+    """Read .fvecs: each row is [int32 dim, float32 x dim].
+
+    Uses the native mmap/multithreaded parser (cpp/io_native.cpp) when the
+    toolchain is available; falls back to numpy."""
+    from tpu_hnsw.io import native
+
+    out = native.read_fvecs_native(path, count)
+    if out is not None:
+        return out
     raw = np.fromfile(path, dtype=np.int32, count=-1 if count is None else None)
     if raw.size == 0:
         return np.zeros((0, 0), np.float32)
@@ -32,6 +40,11 @@ def read_ivecs(path: str, count: int | None = None) -> np.ndarray:
 
 def read_bvecs(path: str, count: int | None = None) -> np.ndarray:
     """Read .bvecs: each row is [int32 dim, uint8 x dim]."""
+    from tpu_hnsw.io import native
+
+    out = native.read_bvecs_native(path, count)
+    if out is not None:
+        return out
     with open(path, "rb") as f:
         dim = int(np.fromfile(f, dtype=np.int32, count=1)[0])
         row = 4 + dim

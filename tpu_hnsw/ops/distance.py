@@ -26,12 +26,19 @@ from tpu_hnsw.config import Metric
 
 
 def _dot(a: jax.Array, b_t: jax.Array) -> jax.Array:
-    """MXU matmul with f32 accumulation regardless of storage dtype."""
+    """MXU matmul with f32 accumulation AND full-precision inputs.
+
+    TPU matmuls round f32 inputs to bf16 by default; the L2 matmul form
+    |q|^2+|x|^2-2qx then loses the low bits exactly where nearest-neighbor
+    ordering is decided (catastrophic cancellation for near pairs).
+    Precision.HIGHEST keeps f32-grade accuracy (bf16x3 passes on the MXU).
+    """
     return jax.lax.dot_general(
         a,
         b_t,
         dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -77,19 +84,18 @@ def batched_scores(
     """Scores of each query against its own gathered block.
 
     q: ``[Q, d]``, vecs: ``[Q, K, d]`` -> ``[Q, K]``.  This is the inner
-    distance step of beam search: a batched mat-vec the MXU executes as a
-    batch-Q matmul.
+    distance step of beam search — a batched mat-vec, which the MXU cannot
+    fill anyway, so it is computed **elementwise on the VPU in f32**: exact
+    distances (no bf16 input rounding, no |a|^2+|b|^2-2ab cancellation) at
+    the same bandwidth cost. ``vecs_sq``/``q_sq`` are accepted for API
+    compatibility and unused.
     """
-    dots = jnp.einsum(
-        "qd,qkd->qk", q, vecs, preferred_element_type=jnp.float32
-    )
+    qf = q.astype(jnp.float32)[:, None, :]
+    vf = vecs.astype(jnp.float32)
     if metric is Metric.L2:
-        if vecs_sq is None:
-            vecs_sq = squared_norms(vecs)
-        if q_sq is None:
-            q_sq = squared_norms(q)
-        return jnp.maximum(q_sq[:, None] + vecs_sq - 2.0 * dots, 0.0)
-    return -dots
+        d = qf - vf
+        return jnp.sum(d * d, axis=-1)
+    return -jnp.sum(qf * vf, axis=-1)
 
 
 def score_to_distance(score: jax.Array, metric: Metric) -> jax.Array:
