@@ -50,14 +50,14 @@ INF = jnp.float32(jnp.inf)
 # (the rest are dropped; across chunks the scan serializes, so only
 # same-chunk overflow beyond UPDATE_R is lossy).
 UPDATE_R = 16
-UPDATE_CHUNK = 2048
+UPDATE_CHUNK = 8192
 
 
 def next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _set_wave(g: G.HnswGraph, ids, vecs, levels, slots) -> G.HnswGraph:
     """Scatter a wave's vectors/levels/slots into the flat tables."""
     vecs = vecs.astype(g.vectors.dtype)
@@ -77,7 +77,9 @@ def _mask_pool(pool_d, pool_i, n_valid, sentinel):
     return jnp.where(keep, pool_d, INF), jnp.where(keep, pool_i, sentinel)
 
 
-@functools.partial(jax.jit, static_argnames=("level0",))
+@functools.partial(
+    jax.jit, static_argnames=("level0",), donate_argnums=(0,)
+)
 def _write_own_lists(g: G.HnswGraph, ids, slots, sel_ids, level, *, level0: bool):
     """Write the wave elements' own adjacency rows at a level
     (dynamic scalar for upper levels)."""
@@ -97,7 +99,9 @@ def _write_own_lists(g: G.HnswGraph, ids, slots, sel_ids, level, *, level0: bool
     )
 
 
-@functools.partial(jax.jit, static_argnames=("level0", "lm", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("level0", "lm", "metric"), donate_argnums=(0,)
+)
 def _reciprocal_update(
     g: G.HnswGraph,
     targets,  # [U] int32 sorted by (target, dist)

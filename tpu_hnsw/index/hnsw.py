@@ -183,18 +183,10 @@ class HnswIndex:
             self.entry_level = wave_max
 
     # ---------------------------------------------------------------- search
-    def search(
-        self,
-        queries,
-        k: int = 10,
-        ef_search: int = 40,
-        return_distances: bool = True,
-    ):
-        """ORDER BY distance LIMIT k analogue (hnswscan GetScanItems).
-
-        Returns (distances [Q, k] in operator units, ids [Q, k]); missing
-        results carry id -1 and distance +inf.
-        """
+    def search_device(self, queries, k: int = 10, ef_search: int = 40):
+        """Device-resident search: dispatches asynchronously and returns
+        (distances, ids) as device arrays (operator units; sentinel id for
+        missing). Use for pipelined serving — no host sync per call."""
         validate_ef_search(ef_search)
         if self.graph is None or self.n == 0:
             raise ValueError("index is empty")
@@ -213,15 +205,26 @@ class HnswIndex:
             metric=self.cfg.metric,
             expand=self.cfg.expand_per_step,
         )
-        scores = np.asarray(scores[:nq])
-        ids = np.asarray(ids[:nq])
+        return D.score_to_distance(scores[:nq], self.cfg.metric), ids[:nq]
+
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        ef_search: int = 40,
+        return_distances: bool = True,
+    ):
+        """ORDER BY distance LIMIT k analogue (hnswscan GetScanItems).
+
+        Returns (distances [Q, k] in operator units, ids [Q, k]); missing
+        results carry id -1 and distance +inf.
+        """
+        dists, ids = self.search_device(queries, k=k, ef_search=ef_search)
+        dists, ids = jax.device_get((dists, ids))
         ids = np.where(ids == self.graph.sentinel, -1, ids)
         if not return_distances:
             return ids
-        dists = np.asarray(
-            D.score_to_distance(jnp.asarray(scores), self.cfg.metric)
-        )
-        return dists, ids
+        return np.asarray(dists), ids
 
     # ---------------------------------------------------------------- delete
     def delete(self, ids) -> None:

@@ -95,6 +95,7 @@ def _search_layer_body(
     max_steps: int,
     metric: Metric,
     skip_deleted: bool,
+    hist_window: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
     """Trace-time body shared by the jitted entry points."""
     E = min(expand, ef)
@@ -104,8 +105,9 @@ def _search_layer_body(
     # History ring: bounded window of recent expansions. Re-scoring an
     # expanded-then-pruned node that fell out of the window wastes only
     # bandwidth — it can never re-enter the pool (pool entries are
-    # monotonically improving), so a small window is safe.
-    H = max(min(128, max_steps * E), E)
+    # monotonically improving), so a small window is safe. The [Q, G, H]
+    # membership compare is itself HBM traffic, so the window is kept small.
+    H = max(min(hist_window, max_steps * E), E)
     hist_slots = max(H // E, 1)
 
     qf = q
@@ -294,7 +296,10 @@ def search(
     """
     ef = max(ef_search, k)
     if max_steps <= 0:
-        max_steps = 2 * ef + 16
+        # natural termination lands near ef/expand steps (measured); the
+        # margin covers slow-converging tail queries without letting the
+        # lockstep batch run long after everyone is done
+        max_steps = ef // max(expand, 1) + 16
     return _search_jit(
         g,
         queries,
