@@ -25,10 +25,12 @@ import numpy as np
 def main():
     n = int(os.environ.get("TPU_HNSW_BENCH_N", 200_000))
     dim = int(os.environ.get("TPU_HNSW_BENCH_D", 128))
-    n_queries = int(os.environ.get("TPU_HNSW_BENCH_Q", 2048))
+    n_queries = int(os.environ.get("TPU_HNSW_BENCH_Q", 4096))
     wave = int(os.environ.get("TPU_HNSW_WAVE", 4096))
     build_expand = int(os.environ.get("TPU_HNSW_BUILD_EXPAND", 4))
-    search_expand = int(os.environ.get("TPU_HNSW_SEARCH_EXPAND", 2))
+    search_expand = int(os.environ.get("TPU_HNSW_SEARCH_EXPAND", 4))
+    descent_ef = int(os.environ.get("TPU_HNSW_DESCENT_EF", 8))
+    build_mode = os.environ.get("TPU_HNSW_BUILD_MODE", "bulk")
     target_recall = float(os.environ.get("TPU_HNSW_TARGET_RECALL", 0.95))
 
     from tpu_hnsw import FlatIndex, HnswConfig, HnswIndex, Metric
@@ -43,6 +45,8 @@ def main():
     else:
         base, queries = synthetic_clustered(n, dim, n_queries=n_queries, seed=42)
 
+    import jax
+
     cfg = HnswConfig(
         dim=dim,
         m=16,
@@ -51,19 +55,26 @@ def main():
         seed=0,
         build_expand_per_step=build_expand,
         expand_per_step=search_expand,
+        descent_ef=descent_ef,
     )
-    idx = HnswIndex(cfg, capacity=n)
 
-    # warm the build kernels on a small prefix so the timed region measures
-    # steady-state throughput, not XLA compilation
-    warm = min(4 * wave, max(n // 10, wave))
+    # build twice at the SAME n: the first run pays XLA compilation
+    # (several minutes on remote-compile fabrics; program shapes depend on
+    # n, so a smaller warmup would not warm them), the second run is the
+    # steady-state measurement
+    widx = HnswIndex(cfg, capacity=n)
     t0 = time.perf_counter()
-    idx.add(base[:warm])
+    widx.build(base, mode=build_mode)
+    jax.block_until_ready(widx.graph.neighbors0)
     t_warm = time.perf_counter() - t0
+    del widx
+
+    idx = HnswIndex(cfg, capacity=n)
     t0 = time.perf_counter()
-    idx.add(base[warm:])
+    idx.build(base, mode=build_mode)
+    jax.block_until_ready(idx.graph.neighbors0)
     t_build = time.perf_counter() - t0
-    build_vps = (n - warm) / t_build if n > warm else warm / t_warm
+    build_vps = n / t_build
 
     gt = FlatIndex(base, Metric.L2).search(queries, k=10)[1]
     qps, recall, ef = qps_at_recall(idx, queries, gt, target=target_recall, k=10)
@@ -83,6 +94,8 @@ def main():
             "build_vs_baseline": round(build_vps / 100_000.0, 4),
             "warmup_s": round(t_warm, 1),
             "build_s": round(t_build, 1),
+            "build_mode": build_mode,
+            "descent_ef": descent_ef,
             "wave_size": wave,
             "dataset": "sift1m" if data_dir and n >= 1_000_000 else "synthetic-clustered",
         },

@@ -88,6 +88,10 @@ class HnswConfig:
     # Same, for construction-time searches. >1 shortens the serial while-
     # loop (the build-throughput bottleneck) at a small recall cost.
     build_expand_per_step: int = 1
+    # Width of the upper-level descent beam at query time. 1 = pgvector's
+    # ef=1 greedy descent; wider closes multi-basin routing misses on
+    # bulk-built (pure-kNN level 0) graphs at small upper-level cost.
+    descent_ef: int = 1
     # Merge within-wave brute-force top-k into each wave element's candidate
     # set before neighbor selection. Compensates for wave staleness (elements
     # of one wave not seeing each other), restoring the sequential build's

@@ -111,6 +111,11 @@ def gather_vectors(g: HnswGraph, ids: jax.Array) -> tuple[jax.Array, jax.Array]:
     return v, v_sq
 
 
+def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Row gather from a raw table with clip semantics."""
+    return jnp.take(table, ids, axis=0, mode="clip")
+
+
 def graph_degree(config: HnswConfig, level: int) -> int:
     return config.m0 if level == 0 else config.m
 

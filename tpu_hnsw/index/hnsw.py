@@ -83,12 +83,32 @@ class HnswIndex:
         return x
 
     # ----------------------------------------------------------------- build
-    def build(self, data) -> "HnswIndex":
-        """CREATE INDEX analogue: bulk-build over a dataset."""
+    # datasets at least this large use the MXU bulk path by default
+    BULK_THRESHOLD = 20_000
+
+    def build(self, data, mode: str = "auto") -> "HnswIndex":
+        """CREATE INDEX analogue: build over a dataset.
+
+        mode: "auto" (bulk cluster build for large initial loads, waves
+        otherwise), "bulk", or "wave". Both modes produce a graph with the
+        same structure/invariants; bulk is the MXU-bound fast path
+        (see index/build_cluster.py), waves are the incremental
+        pgvector-faithful path.
+        """
         x = self._prep(data)
         if self.capacity == 0 and self.graph is None:
             self.capacity = max(self.cfg.max_elements, x.shape[0])
-        self.add(x, _pre=False)
+        if mode not in ("auto", "bulk", "wave"):
+            raise ValueError("mode must be auto|bulk|wave")
+        use_bulk = mode == "bulk" or (
+            mode == "auto" and self.n == 0 and x.shape[0] >= self.BULK_THRESHOLD
+        )
+        if use_bulk:
+            from tpu_hnsw.index.build_cluster import build_bulk
+
+            build_bulk(self, x)
+        else:
+            self.add(x, _pre=False)
         return self
 
     def add(self, data, _pre: bool = True, levels: np.ndarray | None = None) -> np.ndarray:
@@ -204,6 +224,7 @@ class HnswIndex:
             ef_search=max(ef_search, k),
             metric=self.cfg.metric,
             expand=self.cfg.expand_per_step,
+            descent_ef=self.cfg.descent_ef,
         )
         return D.score_to_distance(scores[:nq], self.cfg.metric), ids[:nq]
 

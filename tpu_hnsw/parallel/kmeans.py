@@ -53,6 +53,7 @@ def kmeans(
     seed: int = 0,
     sample: int | None = 262144,
     balance: bool = True,
+    assign_full: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd's k-means with random-sample init (the TPU stand-in for
     pgvector's sampled k-means++; iterations dominate quality at these k).
@@ -80,6 +81,8 @@ def kmeans(
                 cn = np.array(centroids)
                 cn[empty] = train[rng.choice(train.shape[0], len(empty))]
                 centroids = jnp.asarray(cn)
+    if not assign_full:
+        return np.asarray(centroids), np.zeros(0, np.int32)
     # final assignment over the full dataset, blockwise
     full = jnp.asarray(data)
     full_sq = D.squared_norms(full)
