@@ -83,10 +83,14 @@ def _cluster_batch(vectors, mem, sentinel, *, k_cand: int, metric: Metric):
     return jnp.where(jnp.isfinite(vals), ids, sentinel)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "overlap"))
-def _union_per_element(members, cand, sentinel, *, n: int, overlap: int):
+@functools.partial(jax.jit, static_argnames=("n_bucket", "overlap"))
+def _union_per_element(members, cand, sentinel, *, n_bucket: int, overlap: int):
     """Union each element's candidate rows from its clusters:
-    members [L, CS], cand [L, CS, K] -> [n, overlap*K]."""
+    members [L, CS], cand [L, CS, K] -> [n_bucket, overlap*K].
+
+    ``n_bucket`` is a pow2 bound >= the true element count so differently-
+    sized builds (e.g. per-partition shards) share one compiled program;
+    the caller slices the live rows."""
     K = cand.shape[2]
     flat_m = members.reshape(-1)
     flat_c = cand.reshape(-1, K)
@@ -98,11 +102,11 @@ def _union_per_element(members, cand, sentinel, *, n: int, overlap: int):
     run_start = jax.lax.cummax(jnp.where(first, idx, 0))
     occ = idx - run_start
     ok = (m_s != sentinel) & (occ < overlap)
-    out = jnp.full((n + 1, overlap, K), sentinel, jnp.int32)
-    out = out.at[jnp.where(ok, m_s, n), jnp.where(ok, occ, 0)].set(
+    out = jnp.full((n_bucket + 1, overlap, K), sentinel, jnp.int32)
+    out = out.at[jnp.where(ok, m_s, n_bucket), jnp.where(ok, occ, 0)].set(
         jnp.where(ok[:, None], c_s, sentinel), mode="drop"
     )
-    return out[:n].reshape(n, overlap * K)
+    return out[:n_bucket].reshape(n_bucket, overlap * K)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -267,9 +271,25 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
             x, L, iters=kmeans_iters, seed=cfg.seed, sample=min(n, 65536),
             balance=False, assign_full=False,
         )
-        sc = D.pairwise_scores(jnp.asarray(x), jnp.asarray(centroids), Metric.L2)
-        _, top_c = T.topk_smallest(sc, overlap)
-        top_c = np.asarray(top_c)  # [n, overlap] small transfer
+        # top-`overlap` centroid routing, blockwise ([n, L] would not fit)
+        cj = jnp.asarray(centroids)
+
+        @jax.jit
+        def _route(xb):
+            sc = D.pairwise_scores(xb, cj, Metric.L2)
+            _, t = T.topk_smallest(sc, overlap)
+            return t
+
+        blk = 131072
+        parts = []
+        for s in range(0, n, blk):
+            xb = x[s : s + blk]
+            if xb.shape[0] < blk:
+                xb = np.concatenate(
+                    [xb, np.zeros((blk - xb.shape[0], x.shape[1]), x.dtype)]
+                )
+            parts.append(np.asarray(_route(jnp.asarray(xb))))
+        top_c = np.concatenate(parts, axis=0)[:n]  # [n, overlap]
         cs_cap = _pad_pow2(4 * cluster_size)
         members = np.full((L, cs_cap), sent, np.int32)
         cur = np.zeros(L, np.int64)
@@ -298,14 +318,21 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
         )
     cand = jnp.concatenate(cand_parts, axis=0)[:Lp]
 
+    n_bucket = _pad_pow2(n)
     all_ci = _union_per_element(
-        members_j, cand, jnp.int32(sent), n=n, overlap=overlap_eff
+        members_j, cand, jnp.int32(sent), n_bucket=n_bucket,
+        overlap=overlap_eff,
     )
 
     # exact re-score (fixed-shape chunks on device)
-    chunk = min(8192, _pad_pow2(n))
+    chunk = min(8192, n_bucket)
     n_pad = ((n + chunk - 1) // chunk) * chunk
-    ci_p = _pad_rows(all_ci, n_pad, sent)
+    ci_p = all_ci[:n_pad] if n_pad <= n_bucket else _pad_rows(all_ci, n_pad, sent)
+    # rows >= n of the union output are junk scattered by sentinel members;
+    # overwrite with sentinel so padded rows stay inert
+    if n_pad > n:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        ci_p = jnp.where(rows < n, ci_p, sent)
     nid_p = _pad_rows(jnp.arange(n, dtype=jnp.int32), n_pad, sent)
     cd_parts = []
     for s in range(0, n_pad, chunk):

@@ -45,6 +45,41 @@ class HnswIndex:
     def size(self) -> int:
         return self.n
 
+    def stats(self) -> dict:
+        """Index observability (EXPLAIN/pg_stat analogue, SURVEY.md §5):
+        memory per component, bytes/element, degree and level stats."""
+        g = self.graph
+        if g is None:
+            return {"n": 0}
+        comp = {
+            "vectors": g.vectors.nbytes,
+            "vectors_sq": g.vectors_sq.nbytes,
+            "neighbors0": g.neighbors0.nbytes,
+            "upper_nbrs": g.upper_nbrs.nbytes,
+            "upper_slot": g.upper_slot.nbytes,
+            "levels": g.levels.nbytes,
+            "deleted": g.deleted.nbytes,
+        }
+        total = sum(comp.values())
+        nbr0 = np.asarray(g.neighbors0[: self.n])
+        deg = (nbr0 != g.sentinel).sum(1)
+        levels = np.asarray(g.levels[: self.n])
+        return {
+            "n": self.n,
+            "capacity": self.capacity,
+            "dim": self.cfg.dim,
+            "dtype": self.cfg.dtype,
+            "entry": self.entry,
+            "entry_level": self.entry_level,
+            "n_deleted": int(np.asarray(g.deleted[: self.n]).sum()),
+            "memory_bytes": comp,
+            "memory_total_bytes": total,
+            "bytes_per_element": round(total / max(self.n, 1), 1),
+            "degree_mean": float(deg.mean()) if self.n else 0.0,
+            "degree_min": int(deg.min()) if self.n else 0,
+            "level_counts": np.bincount(levels).tolist() if self.n else [],
+        }
+
     def _ensure_graph(self, needed: int):
         if self.graph is None:
             if self.capacity == 0:
@@ -111,11 +146,13 @@ class HnswIndex:
             self.add(x, _pre=False)
         return self
 
-    def add(self, data, _pre: bool = True, levels: np.ndarray | None = None) -> np.ndarray:
+    def add(self, data, _pre: bool = True, levels: np.ndarray | None = None,
+            progress=None) -> np.ndarray:
         """Insert vectors (hnswinsert analogue, batched). Returns ids.
 
         ``levels`` overrides the geometric draw (tests / deterministic
-        replay only)."""
+        replay only). ``progress(done, total)`` is invoked after each wave
+        (the pg_stat_progress_create_index analogue)."""
         x = self._prep(data) if _pre else np.asarray(data, np.float32)
         count = x.shape[0]
         self._ensure_graph(count)
@@ -140,6 +177,8 @@ class HnswIndex:
             ids_out[pos : pos + wave] = self.n + np.arange(wave, dtype=np.int32)
             self._insert_wave(x[pos : pos + wave], levels[pos : pos + wave])
             pos += wave
+            if progress is not None:
+                progress(pos, count)
         return ids_out
 
     def _insert_first(self, vec: np.ndarray, level: int):
