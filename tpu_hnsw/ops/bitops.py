@@ -69,7 +69,9 @@ class BinaryFlatIndex:
         return cls(pack_bits(bits))
 
     def search(self, q_packed, k: int = 10):
+        from tpu_hnsw.ops.pallas_hamming import hamming_scan_auto
+
         q = jnp.asarray(q_packed, dtype=jnp.uint32)
-        d = pairwise_hamming(q, self.packed)
+        d = hamming_scan_auto(q, self.packed)
         vals, idx = jax.lax.top_k(-d, k)
         return np.asarray(-vals), np.asarray(idx)
