@@ -59,3 +59,23 @@ def test_iterative_scan_filtered():
     _, gt_local = flat.search(queries, k=5)
     gt = even[gt_local]
     assert recall_at_k(np.where(valid, ids, -1), gt, 5) >= 0.8
+
+
+def test_build_checkpointing(tmp_path):
+    """Wave-granular checkpoints allow resuming an interrupted build."""
+    base, queries, _ = _build(n=300)  # warm helper shapes
+    from tpu_hnsw.index.hnsw import HnswIndex
+    from tpu_hnsw.io.datasets import synthetic_clustered
+
+    data, q = synthetic_clustered(600, 12, n_queries=5, seed=41)
+    cfg = HnswConfig(dim=12, m=8, ef_construction=32, wave_size=64, seed=9)
+    idx = HnswIndex(cfg, capacity=600)
+    ck = str(tmp_path / "ck")
+    idx.add(data[:400], checkpoint_every=2, checkpoint_path=ck)
+    resumed = HnswIndex.load(ck)
+    assert 0 < resumed.n <= 400
+    # resume the remaining rows on the snapshot
+    resumed.add(data[resumed.n : 600])
+    assert resumed.n == 600
+    _, ids = resumed.search(q, k=5, ef_search=40)
+    assert (ids >= 0).all()

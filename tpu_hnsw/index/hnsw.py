@@ -147,12 +147,17 @@ class HnswIndex:
         return self
 
     def add(self, data, _pre: bool = True, levels: np.ndarray | None = None,
-            progress=None) -> np.ndarray:
+            progress=None, checkpoint_every: int = 0,
+            checkpoint_path: str | None = None) -> np.ndarray:
         """Insert vectors (hnswinsert analogue, batched). Returns ids.
 
         ``levels`` overrides the geometric draw (tests / deterministic
         replay only). ``progress(done, total)`` is invoked after each wave
-        (the pg_stat_progress_create_index analogue)."""
+        (the pg_stat_progress_create_index analogue). With
+        ``checkpoint_every=K`` and a path, the index is snapshotted every K
+        waves — wave-granular resumable builds (the flat-array layout makes
+        the crash-restart-from-scratch limitation of upstream CREATE INDEX
+        unnecessary; SURVEY.md §5 checkpoint/resume)."""
         x = self._prep(data) if _pre else np.asarray(data, np.float32)
         count = x.shape[0]
         self._ensure_graph(count)
@@ -179,6 +184,11 @@ class HnswIndex:
             pos += wave
             if progress is not None:
                 progress(pos, count)
+            if checkpoint_every and checkpoint_path:
+                self._waves_since_ckpt = getattr(self, "_waves_since_ckpt", 0) + 1
+                if self._waves_since_ckpt >= checkpoint_every:
+                    self.save(checkpoint_path)
+                    self._waves_since_ckpt = 0
         return ids_out
 
     def _insert_first(self, vec: np.ndarray, level: int):

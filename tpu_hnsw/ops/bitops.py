@@ -57,21 +57,35 @@ def pairwise_hamming(q: jax.Array, x: jax.Array) -> jax.Array:
 
 
 class BinaryFlatIndex:
-    """Exact hamming KNN over packed binary vectors (the
-    ``bit_hamming_ops`` flat-scan parity path; pairs with
-    vector_ops.binary_quantize for binary-quantized rerank pipelines)."""
+    """Exact binary KNN over packed vectors — hamming (``bit_hamming_ops``)
+    or jaccard (``bit_jaccard_ops``); pairs with vector_ops.binary_quantize
+    for binary-quantized rerank pipelines."""
 
-    def __init__(self, packed: np.ndarray):
+    def __init__(self, packed: np.ndarray, metric: str = "hamming"):
+        if metric not in ("hamming", "jaccard"):
+            raise ValueError("metric must be hamming or jaccard")
+        self.metric = metric
         self.packed = jnp.asarray(packed, dtype=jnp.uint32)
 
     @classmethod
-    def from_bits(cls, bits: np.ndarray) -> "BinaryFlatIndex":
-        return cls(pack_bits(bits))
+    def from_bits(cls, bits: np.ndarray, metric: str = "hamming") -> "BinaryFlatIndex":
+        return cls(pack_bits(bits), metric=metric)
 
     def search(self, q_packed, k: int = 10):
         from tpu_hnsw.ops.pallas_hamming import hamming_scan_auto
 
         q = jnp.asarray(q_packed, dtype=jnp.uint32)
-        d = hamming_scan_auto(q, self.packed)
+        if self.metric == "hamming":
+            d = hamming_scan_auto(q, self.packed).astype(jnp.float32)
+        else:
+            inter = jnp.sum(
+                popcount(jnp.bitwise_and(q[:, None, :], self.packed[None, :, :])),
+                axis=-1,
+            )
+            union = jnp.sum(
+                popcount(jnp.bitwise_or(q[:, None, :], self.packed[None, :, :])),
+                axis=-1,
+            )
+            d = 1.0 - inter / jnp.maximum(union, 1)
         vals, idx = jax.lax.top_k(-d, k)
         return np.asarray(-vals), np.asarray(idx)
