@@ -1,0 +1,120 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md).
+
+Each test pins one fixed defect:
+1. deleted entry point returned as a result before compact()
+2. read_fvecs numpy fallback crashing when count is given
+3. cmd_eval ground truth vs global ids for partitioned indexes
+4. sharded() crashing on empty partitions (n < n_partitions)
+5. FlatIndex fast path returning padded-row candidate ids
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_hnsw.config import HnswConfig, Metric
+from tpu_hnsw.index.flat import FlatIndex
+from tpu_hnsw.index.hnsw import HnswIndex
+from tpu_hnsw.io.datasets import read_fvecs, write_fvecs, synthetic_clustered
+from tpu_hnsw.parallel.partition import PartitionedHnswIndex
+
+
+def test_deleted_entry_never_returned_before_compact():
+    """ADVICE #1: after delete(entry) and BEFORE compact(), the deleted
+    entry point must not appear in any result (upstream never returns
+    deleted rows; they are filtered at the heap-visibility check)."""
+    base, queries = synthetic_clustered(800, 12, n_queries=50, seed=11)
+    cfg = HnswConfig(dim=12, m=8, ef_construction=32, wave_size=128, seed=5)
+    idx = HnswIndex(cfg, capacity=800)
+    idx.build(base)
+    entry = idx.entry
+    # query AT the entry vector itself — the strongest repro: the deleted
+    # entry seeds the pool at distance ~0
+    q = np.concatenate([base[entry][None], queries])
+    idx.delete([entry])
+    _, ids = idx.search(q, k=10, ef_search=40)
+    assert not (ids == entry).any(), "deleted entry point returned as a hit"
+    # and recall among live rows should still be healthy
+    live = np.setdiff1d(np.arange(idx.n), [entry])
+    flat = FlatIndex(base[live], Metric.L2)
+    _, gtl = flat.search(q, k=10)
+    from tpu_hnsw.utils.recall import recall_at_k
+
+    assert recall_at_k(ids, live[gtl], 10) >= 0.9
+
+
+def test_read_fvecs_numpy_fallback_with_count(tmp_path, monkeypatch):
+    """ADVICE #2: read_fvecs(path, count=N) crashed in the numpy fallback."""
+    from tpu_hnsw.io import native
+
+    x = np.arange(60, dtype=np.float32).reshape(10, 6)
+    p = str(tmp_path / "v.fvecs")
+    write_fvecs(p, x)
+    monkeypatch.setattr(native, "read_fvecs_native", lambda *a, **k: None)
+    got = read_fvecs(p, count=4)
+    np.testing.assert_array_equal(got, x[:4])
+    got_all = read_fvecs(p)
+    np.testing.assert_array_equal(got_all, x)
+    # count beyond the file just returns everything
+    np.testing.assert_array_equal(read_fvecs(p, count=99), x)
+
+
+def test_cli_eval_partitioned_gt_uses_global_ids(tmp_path, capsys):
+    """ADVICE #3: eval recall for a partitioned index must map brute-force
+    positions (over concatenated shard tables) back to global ids."""
+    import json
+
+    from tpu_hnsw import cli
+
+    base, queries = synthetic_clustered(1200, 12, n_queries=30, seed=7)
+    cfg = HnswConfig(dim=12, m=8, ef_construction=32, wave_size=128, seed=3)
+    idx = PartitionedHnswIndex(cfg, n_partitions=4, router="hash")
+    idx.build(base)
+    ipath = str(tmp_path / "idx")
+    idx.save(ipath)
+    qpath = str(tmp_path / "q.fvecs")
+    write_fvecs(qpath, queries)
+    cli.main(["eval", "--index", ipath, "--queries", qpath, "--k", "10"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows, "eval printed no rows"
+    # with correct gt mapping, recall at high ef must be near-perfect;
+    # with concat-position gt it was ~1/p on hash partitions
+    best = max(r["recall"] for r in rows)
+    assert best >= 0.9, f"partitioned eval recall broken: {best}"
+
+
+def test_sharded_search_with_empty_partitions():
+    """ADVICE #4: n < n_partitions leaves empty shards; sharded() must not
+    crash and must return correct merged results."""
+    import jax
+
+    base, queries = synthetic_clustered(6, 8, n_queries=5, seed=2)
+    cfg = HnswConfig(dim=8, m=4, ef_construction=8, wave_size=4, seed=1)
+    idx = PartitionedHnswIndex(cfg, n_partitions=8, router="hash")
+    idx.build(base)
+    sh = idx.sharded(jax.make_mesh((8,), ("shard",)))
+    d, ids = sh.search(queries, k=3, ef_search=8)
+    assert d.shape == (5, 3)
+    flat = FlatIndex(base, Metric.L2)
+    _, gt = flat.search(queries, k=3)
+    # exhaustive hash routing + tiny shards: top-1 must match brute force
+    assert (ids[:, 0] == gt[:, 0]).all()
+
+
+def test_flat_fast_path_never_returns_padded_ids():
+    """ADVICE #5: approx_min_k can emit padded-row candidates; they must be
+    masked, not clipped into the table."""
+    rng = np.random.default_rng(0)
+    # n just above a power of two -> lots of padding rows in the block view
+    n = 130
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    q = rng.normal(size=(40, 16)).astype(np.float32)
+    flat = FlatIndex(x, Metric.L2)
+    for exact in (None, True):
+        d, ids = flat.search(q, k=12, exact=exact)
+        assert ((ids >= 0) & (ids < n)).all()
+    # tiny-n + k close to n stresses the candidate over-fetch path
+    small = FlatIndex(x[:5], Metric.L2)
+    d, ids = small.search(q, k=5)
+    assert ((ids >= 0) & (ids < 5)).all()

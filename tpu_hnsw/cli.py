@@ -112,14 +112,21 @@ def cmd_eval(args):
         gt = DS.read_ivecs(args.gt)[: len(q), : args.k]
     else:
         cfg = idx.cfg
-        base = np.asarray(
-            idx.graph.vectors[: idx.n]
-            if hasattr(idx, "graph")
-            else np.concatenate(
+        if hasattr(idx, "graph"):
+            base = np.asarray(idx.graph.vectors[: idx.n]).astype(np.float32)
+            gt = E.ground_truth(base, q, args.k, cfg.metric)
+        else:
+            # partitioned: ground truth over the concatenated shard tables
+            # yields concat positions; search() returns ORIGINAL global
+            # ids — map positions back through the shard id tables or the
+            # reported recall is meaningless (ADVICE r1)
+            base = np.concatenate(
                 [np.asarray(p.graph.vectors[: p.n]) for p in idx.parts]
-            )
-        ).astype(np.float32)
-        gt = E.ground_truth(base, q, args.k, cfg.metric)
+            ).astype(np.float32)
+            glob = np.concatenate(
+                [np.asarray(p._global_ids[: p.n]) for p in idx.parts]
+            ).astype(np.int64)
+            gt = glob[E.ground_truth(base, q, args.k, cfg.metric)]
     rows = E.sweep(idx, q, gt, k=args.k)
     for r in rows:
         print(json.dumps(r))

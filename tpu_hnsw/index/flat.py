@@ -80,14 +80,24 @@ def _stream_search(q, xs, xs_sq, valid, k: int, metric: Metric, precision,
     return best_d, best_i
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k"))
-def _rerank(q, x, cand_ids, metric: Metric, k: int):
-    """Exact f32 re-scoring of candidate ids [Q, C] -> top-k."""
-    v = jnp.take(x, jnp.clip(cand_ids, 0), axis=0)
+@functools.partial(jax.jit, static_argnames=("metric", "k", "n"))
+def _rerank(q, x, cand_ids, metric: Metric, k: int, n: int):
+    """Exact f32 re-scoring of candidate ids [Q, C] -> top-k.
+
+    ids outside [0, n) are masked to +inf: approx_min_k in the fast path
+    can emit padded-row candidates (id >= n); clipping them into the table
+    would rescore a real row to a finite distance and displace a true
+    neighbor (ADVICE r1).
+    """
+    bad = (cand_ids < 0) | (cand_ids >= n)
+    v = jnp.take(x, jnp.clip(cand_ids, 0, n - 1), axis=0)
     sc = D.batched_scores(q, v, metric)
-    sc = jnp.where(cand_ids < 0, T.INF, sc)
+    sc = jnp.where(bad, T.INF, sc)
     vals, sel = T.topk_smallest(sc, k)
-    return vals, jnp.take_along_axis(cand_ids, sel, axis=1)
+    ids = jnp.where(
+        jnp.isfinite(vals), jnp.take_along_axis(cand_ids, sel, axis=1), -1
+    )
+    return vals, ids
 
 
 class FlatIndex:
@@ -103,10 +113,13 @@ class FlatIndex:
             vectors = D.l2_normalize(vectors)
         self.metric = metric
         self.n = int(vectors.shape[0])
+        self.dim = int(vectors.shape[1])
         blk = min(self.BLOCK, 1 << (max(self.n - 1, 1)).bit_length())
         pad = (-self.n) % blk
         self._blk = blk
-        self.vectors = vectors  # unpadded (rerank source / exports)
+        # ONE HBM copy: the padded block view is the storage; the flat
+        # unpadded table is a free reshape of it (ADVICE r1 flagged the
+        # 2x HBM footprint of keeping both at 10M scale).
         vp = (
             jnp.concatenate(
                 [vectors, jnp.zeros((pad, vectors.shape[1]), vectors.dtype)]
@@ -122,7 +135,18 @@ class FlatIndex:
             ) * blk
             + jax.lax.broadcasted_iota(jnp.int32, (self._xs.shape[0], blk), 1)
         ) < self.n
-        self.vectors_sq = D.squared_norms(vectors)
+        self.vectors_sq = self._xs_sq.reshape(-1)[: self.n]
+
+    @property
+    def vectors(self):
+        """Unpadded [n, d] view (reshape of the block storage — no copy
+        until sliced; exports/tests only, not the hot path)."""
+        return self._xs.reshape(-1, self.dim)[: self.n]
+
+    @property
+    def _flat_padded(self):
+        """[n_padded, d] zero-copy reshape used as the rerank gather source."""
+        return self._xs.reshape(-1, self.dim)
 
     @property
     def size(self) -> int:
@@ -150,7 +174,9 @@ class FlatIndex:
                 q, self._xs, self._xs_sq, self._valid, cand, self.metric,
                 jax.lax.Precision.DEFAULT, True,
             )
-            scores, ids = _rerank(q, self.vectors, cand_ids, self.metric, k)
+            scores, ids = _rerank(
+                q, self._flat_padded, cand_ids, self.metric, k, self.n
+            )
         if k < k_req:
             scores = jnp.pad(scores, ((0, 0), (0, k_req - k)),
                              constant_values=jnp.inf)

@@ -96,6 +96,7 @@ def _search_layer_body(
     metric: Metric,
     skip_deleted: bool,
     hist_window: int = 64,
+    mask_deleted_results: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Trace-time body shared by the jitted entry points."""
     E = min(expand, ef)
@@ -178,6 +179,21 @@ def _search_layer_body(
     pool_d, pool_i, pool_x, hist, _ = jax.lax.while_loop(
         cond, body, (pool_d, pool_i, pool_x, hist, jnp.int32(0))
     )
+    if mask_deleted_results:
+        # Tombstoned elements navigate like live ones (upstream scans keep
+        # traversing marked-deleted elements until vacuum repairs the
+        # graph; they are filtered at the heap-visibility check) but must
+        # never be *returned* (ADVICE r1: a deleted entry point seeded the
+        # pool and came back as the #1 hit). Expansion never adds deleted
+        # neighbors (fresh mask), so only seeds can be deleted here.
+        deld = jnp.take(g.deleted, pool_i, mode="clip")
+        pool_d = jnp.where(deld, INF, pool_d)
+        pool_d, sel = T.topk_smallest(pool_d, ef)
+        pool_i = jnp.where(
+            jnp.isinf(pool_d),
+            jnp.int32(sent),
+            jnp.take_along_axis(pool_i, sel, axis=1),
+        )
     return pool_d, pool_i
 
 
@@ -286,6 +302,7 @@ def _search_jit(
     pool_d, pool_i = _search_layer_body(
         g, q, seeds, 0, level0=True, ef=ef, expand=expand,
         max_steps=max_steps, metric=metric, skip_deleted=True,
+        mask_deleted_results=True,
     )
     return pool_d[:, :k], pool_i[:, :k]
 

@@ -24,12 +24,15 @@ def read_fvecs(path: str, count: int | None = None) -> np.ndarray:
     out = native.read_fvecs_native(path, count)
     if out is not None:
         return out
-    raw = np.fromfile(path, dtype=np.int32, count=-1 if count is None else None)
+    raw = np.fromfile(path, dtype=np.int32)
     if raw.size == 0:
         return np.zeros((0, 0), np.float32)
     dim = int(raw[0])
     row = dim + 1
-    raw = raw.reshape(-1, row) if count is None else raw[: count * row].reshape(-1, row)
+    n_rows = raw.size // row
+    if count is not None:
+        n_rows = min(n_rows, count)
+    raw = raw[: n_rows * row].reshape(n_rows, row)
     return raw[:, 1:].view(np.float32).copy()
 
 

@@ -138,6 +138,11 @@ class PartitionedHnswIndex:
             sub._global_ids = rows.astype(np.int32)  # local -> global
             if len(rows):
                 sub.build(data[rows])
+            else:
+                # zero-row partition (k-means empty cluster / n < p): give
+                # it an empty graph so sharded()._assemble can stack it
+                # (ADVICE r1: sub.graph was None -> AttributeError)
+                sub._ensure_graph(0)
             self.parts.append(sub)
         self.n = n
         return self
@@ -290,7 +295,9 @@ class ShardedHnswSearcher:
         (self.vectors, self.vectors_sq, self.nbr0, self.upn, self.ups,
          self.levels, self.deleted, self.gids) = arrays
         self.entries = jax.device_put(
-            jnp.asarray([s.entry for s in parts], jnp.int32), shardings
+            # clamp -1 (empty partition) to 0: its results are masked to
+            # -1/inf downstream via the -1-padded global-id table anyway
+            jnp.asarray([max(s.entry, 0) for s in parts], jnp.int32), shardings
         )
         self.entry_levels = jax.device_put(
             jnp.asarray([max(s.entry_level, 0) for s in parts], jnp.int32), shardings
@@ -325,6 +332,7 @@ class ShardedHnswSearcher:
                 pool_d, pool_i = _search_layer_body(
                     g, q, seeds, 0, level0=True, ef=ef, expand=expand,
                     max_steps=max_steps, metric=metric, skip_deleted=True,
+                    mask_deleted_results=True,
                 )
                 d, i = pool_d[:, :k], pool_i[:, :k]
                 glob = jnp.take(gids[lp], i, mode="clip")
