@@ -6,10 +6,22 @@ recall@10 >= 0.95 on SIFT1M-class data (128-d L2, m=16,
 ef_construction=64), baseline target 50,000 QPS/chip. Build throughput
 (target 100,000 vec/s) is reported in "extra".
 
+The measured engine is the HNSW index itself — the flagship
+BlockHnswIndex (HNSW routing graph over cluster-blocked level 0; see
+tpu_hnsw/index/block.py for why classical per-row level 0 cannot reach
+HBM speed on TPU). The flat exact scan (the seqscan analogue) is
+reported separately in "extra" and never carries the headline.
+
 Real SIFT files are used when present under $TPU_HNSW_DATA; otherwise a
 synthetic clustered stand-in of the same shape is generated (this
 environment has no network access). Size via $TPU_HNSW_BENCH_N
-(default 200k — SIFT1M shape at a round-1-friendly scale).
+(default 1,000,000 = config B shape, BASELINE.md).
+
+Measurement protocol (round-1 showed ~2x run-to-run variance with 3
+one-pass repeats): fixed-duration timing windows, 8-deep async dispatch
+pipeline, >=10 windows, median reported, coefficient of variation
+emitted in "extra" so two consecutive runs can be checked against the
+<=10% reproducibility bar.
 """
 
 import json
@@ -23,101 +35,99 @@ import numpy as np
 
 
 def main():
-    n = int(os.environ.get("TPU_HNSW_BENCH_N", 200_000))
+    n = int(os.environ.get("TPU_HNSW_BENCH_N", 1_000_000))
     dim = int(os.environ.get("TPU_HNSW_BENCH_D", 128))
     n_queries = int(os.environ.get("TPU_HNSW_BENCH_Q", 4096))
-    wave = int(os.environ.get("TPU_HNSW_WAVE", 4096))
-    build_expand = int(os.environ.get("TPU_HNSW_BUILD_EXPAND", 4))
-    search_expand = int(os.environ.get("TPU_HNSW_SEARCH_EXPAND", 4))
-    descent_ef = int(os.environ.get("TPU_HNSW_DESCENT_EF", 8))
-    build_mode = os.environ.get("TPU_HNSW_BUILD_MODE", "bulk")
+    block_size = int(os.environ.get("TPU_HNSW_BLOCK_SIZE", 256))
     target_recall = float(os.environ.get("TPU_HNSW_TARGET_RECALL", 0.95))
+    dtype = os.environ.get("TPU_HNSW_BENCH_DTYPE", "float32")
 
-    from tpu_hnsw import FlatIndex, HnswConfig, HnswIndex, Metric
+    from tpu_hnsw import BlockHnswIndex, FlatIndex, HnswConfig, Metric
     from tpu_hnsw.io.datasets import load_or_synthesize, synthetic_clustered
-    from tpu_hnsw.utils.evalharness import qps_at_recall
+    from tpu_hnsw.utils.evalharness import measure_qps
     from tpu_hnsw.utils.recall import recall_at_k
 
     data_dir = os.environ.get("TPU_HNSW_DATA")
     if data_dir and n >= 1_000_000:
         base, queries, _ = load_or_synthesize("sift1m", data_dir)
         base, queries = base[:n], queries[:n_queries]
+        dataset = "sift1m"
     else:
         base, queries = synthetic_clustered(n, dim, n_queries=n_queries, seed=42)
+        dataset = "synthetic-clustered"
 
     import jax
 
-    cfg = HnswConfig(
-        dim=dim,
-        m=16,
-        ef_construction=64,
-        wave_size=wave,
-        seed=0,
-        build_expand_per_step=build_expand,
-        expand_per_step=search_expand,
-        descent_ef=descent_ef,
-    )
+    cfg = HnswConfig(dim=dim, m=16, ef_construction=64, seed=0, dtype=dtype)
 
     # build twice at the SAME n: the first run pays XLA compilation
-    # (several minutes on remote-compile fabrics; program shapes depend on
-    # n, so a smaller warmup would not warm them), the second run is the
+    # (minutes on remote-compile fabrics; program shapes depend on n, so a
+    # smaller warmup would not warm them), the second run is the
     # steady-state measurement
-    widx = HnswIndex(cfg, capacity=n)
     t0 = time.perf_counter()
-    widx.build(base, mode=build_mode)
-    jax.block_until_ready(widx.graph.neighbors0)
+    widx = BlockHnswIndex(cfg, block_size=block_size).build(base)
+    jax.block_until_ready(widx.blocks)
     t_warm = time.perf_counter() - t0
     del widx
 
-    idx = HnswIndex(cfg, capacity=n)
     t0 = time.perf_counter()
-    idx.build(base, mode=build_mode)
-    jax.block_until_ready(idx.graph.neighbors0)
+    idx = BlockHnswIndex(cfg, block_size=block_size).build(base)
+    jax.block_until_ready(idx.blocks)
     t_build = time.perf_counter() - t0
     build_vps = n / t_build
 
     oracle = FlatIndex(base, Metric.L2)
     gt = oracle.search(queries, k=10, exact=True)[1]
-    hnsw_qps, hnsw_recall, ef = qps_at_recall(
-        idx, queries, gt, target=target_recall, k=10
+
+    # operating-point search: smallest pow2 probes meeting the recall
+    # target (pow2 keeps the compile count bounded on remote-compile
+    # fabrics), then a full stable measurement at that point
+    probe_grid = [p for p in (4, 8, 16, 32, 64, 128) if p <= idx.n_blocks]
+    chosen, chosen_recall = probe_grid[-1], 0.0
+    for p in probe_grid:
+        _, ids = idx.search(queries[:1024], k=10, probes=p)
+        r = recall_at_k(ids, gt[:1024], 10)
+        if r >= target_recall:
+            chosen, chosen_recall = p, r
+            break
+        chosen_recall = r
+    mstats = {}
+    hnsw_qps, ids = measure_qps(
+        idx, queries, 10, 4 * chosen, probes=chosen, stats_out=mstats
     )
+    hnsw_recall = recall_at_k(ids, gt, 10)
 
     # the seqscan path (pgvector's planner picks a sequential scan when it
-    # beats the index; hnswcostestimate analogue): streamed exact scan
-    from tpu_hnsw.utils.evalharness import measure_qps
-    from tpu_hnsw.utils.recall import recall_at_k
-
-    flat_qps, flat_ids = measure_qps(oracle, queries, 10, 0)
+    # beats the index; hnswcostestimate analogue) — reported, never headline
+    flat_stats = {}
+    flat_qps, flat_ids = measure_qps(oracle, queries, 10, 0,
+                                     stats_out=flat_stats)
     flat_recall = recall_at_k(flat_ids, gt, 10)
-
-    candidates = [("hnsw", hnsw_qps, hnsw_recall), ("flat", flat_qps, flat_recall)]
-    ok = [c for c in candidates if c[2] >= target_recall] or candidates
-    index_kind, qps, recall = max(ok, key=lambda c: c[1])
 
     result = {
         "metric": f"qps_per_chip_at_recall10>={target_recall}",
-        "value": round(float(qps), 1),
+        "value": round(float(hnsw_qps), 1),
         "unit": "qps",
-        "vs_baseline": round(float(qps) / 50_000.0, 4),
+        "vs_baseline": round(float(hnsw_qps) / 50_000.0, 4),
         "extra": {
             "n": n,
             "dim": dim,
-            "index": index_kind,
-            "recall_at_10": round(float(recall), 4),
-            "ef_search": ef,
-            "recall_target_met": bool(recall >= target_recall),
-            "hnsw_qps": round(float(hnsw_qps), 1),
-            "hnsw_recall": round(float(hnsw_recall), 4),
+            "dtype": dtype,
+            "index": "hnsw-block",
+            "recall_at_10": round(float(hnsw_recall), 4),
+            "probes": chosen,
+            "n_blocks": idx.n_blocks,
+            "block_size": block_size,
+            "recall_target_met": bool(hnsw_recall >= target_recall),
+            "measurement": mstats,
             "flat_qps": round(float(flat_qps), 1),
             "flat_recall": round(float(flat_recall), 4),
+            "flat_measurement": flat_stats,
             "build_vectors_per_sec": round(build_vps, 1),
             "build_vs_baseline": round(build_vps / 100_000.0, 4),
             "warmup_s": round(t_warm, 1),
             "build_s": round(t_build, 1),
-            "build_mode": build_mode,
-            "descent_ef": descent_ef,
-            "wave_size": wave,
-            "dataset": "sift1m" if data_dir and n >= 1_000_000 else "synthetic-clustered",
+            "dataset": dataset,
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Microbenchmark: blocked level-0 scoring feasibility on the real chip.
+
+Measures, at SIFT1M shape (n=1M, d=128), with UNIQUE inputs per
+iteration and a host fetch of a dependent scalar per timing window (the
+remote runtime otherwise reports unphysical times for repeated
+identical dispatches):
+
+  1. random ROW gather+score (the round-1 graph-search bottleneck)
+  2. block gather+score: [Q, p, S, d] contiguous blocks + fused scoring
+     + top-k (the planned design), f32 and bf16
+  3. exact centroid routing cost
+
+All data is generated ON DEVICE (host->device here runs at tens of MB/s).
+"""
+
+import sys, os, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, make_args, iters=10, warmup=2):
+    """fn(*make_args(i)); returns s/call. Unique args per call + a host
+    fetch of one element of the last output to force real execution."""
+    args = [make_args(i) for i in range(iters + warmup)]
+    for i in range(warmup):
+        out = fn(*args[i])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(*a) for a in args[warmup:]]
+    # depend on every output
+    leaves = [jnp.ravel(x)[0].astype(jnp.float32)
+              for o in outs for x in jax.tree.leaves(o)]
+    float(jnp.stack(leaves).sum())
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    n, d = 1_000_000, 128
+    print("devices:", jax.devices(), flush=True)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    Qb = 1024
+    qb = jax.random.normal(k2, (Qb, d), jnp.float32)
+    qkeys = jax.random.split(k2, 64)
+
+    # ---------------- 1. row gather + score (status quo) ----------------
+    table = jax.random.normal(k1, (n, d), jnp.float32)
+    R = 128
+
+    @jax.jit
+    def row_gather_score(table, ids, q):
+        v = jnp.take(table, ids, axis=0)  # [Q, R, d]
+        dif = q[:, None, :] - v
+        return jnp.sum(dif * dif, axis=-1)
+
+    def margs(i):
+        return (table,
+                jax.random.randint(qkeys[i], (Qb, R), 0, n, jnp.int32), qb)
+
+    dt = timeit(row_gather_score, margs)
+    rows = Qb * R
+    print(f"row-gather f32: {rows/dt/1e6:.1f}M rows/s, "
+          f"{rows*d*4/dt/1e9:.1f} GB/s  ({dt*1e3:.3f} ms)", flush=True)
+    del table
+
+    # ---------------- 2. block gather + score ----------------
+    for S, dtype, p in ((256, jnp.float32, 8), (256, jnp.float32, 16),
+                        (512, jnp.float32, 16),
+                        (256, jnp.bfloat16, 16)):
+        B = n // S
+        blocks = jax.random.normal(k1, (B, S, d), jnp.float32).astype(dtype)
+        blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+
+        @jax.jit
+        def block_score(blocks, blocks_sq, bids, q):
+            g = jnp.take(blocks, bids, axis=0)       # [Q, p, S, d]
+            gsq = jnp.take(blocks_sq, bids, axis=0)  # [Q, p, S]
+            dots = jnp.einsum("qpsd,qd->qps", g, q.astype(blocks.dtype),
+                              preferred_element_type=jnp.float32)
+            qsq = jnp.sum(q * q, -1)
+            sc = qsq[:, None, None] + gsq - 2 * dots
+            v, i = jax.lax.top_k(-sc.reshape(q.shape[0], -1), 10)
+            return v, i
+
+        def margs(i):
+            return (blocks, blocks_sq,
+                    jax.random.randint(qkeys[i], (Qb, p), 0, B, jnp.int32),
+                    qb)
+
+        dt = timeit(block_score, margs)
+        rows = Qb * p * S
+        bpe = 2 if dtype == jnp.bfloat16 else 4
+        print(f"block {jnp.dtype(dtype).name} S={S} p={p}: "
+              f"{rows/dt/1e6:.1f}M rows/s, {rows*d*bpe/dt/1e9:.1f} GB/s, "
+              f"{Qb/dt/1e3:.1f}k qps/batch ({dt*1e3:.3f} ms)", flush=True)
+        del blocks, blocks_sq
+
+    # ---------------- 3. exact centroid routing cost ----------------
+    B = 4096
+    cents = jax.random.normal(k1, (B, d), jnp.float32)
+    c_sq = jnp.sum(cents * cents, -1)
+
+    @jax.jit
+    def route(cents, c_sq, q):
+        dots = q @ cents.T
+        sc = jnp.sum(q * q, -1)[:, None] + c_sq[None] - 2 * dots
+        return jax.lax.top_k(-sc, 16)
+
+    def margs(i):
+        return cents, c_sq, jax.random.normal(qkeys[i], (Qb, d), jnp.float32)
+
+    dt = timeit(route, margs)
+    print(f"exact routing B={B}: {dt*1e3:.3f} ms/batch ({Qb/dt/1e3:.0f}k qps)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""BlockHnswIndex (cluster-blocked level 0) — correctness tests.
+
+Strategy mirrors the reference's recall TAP tests (SURVEY.md §4): exact
+brute-force oracle via FlatIndex, recall thresholds on clustered data,
+plus exactness when every block is probed (probes=B degenerates to a
+full exact scan, the enable_indexscan=off analogue).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_hnsw import FlatIndex, HnswConfig, Metric
+from tpu_hnsw.index.block import BlockHnswIndex
+from tpu_hnsw.io.datasets import synthetic_clustered
+from tpu_hnsw.utils.recall import recall_at_k
+
+
+def _data(n=4096, d=32, nq=64, seed=0):
+    return synthetic_clustered(n, d, n_queries=nq, seed=seed)
+
+
+def test_all_probes_matches_exact_oracle():
+    base, queries = _data()
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, seed=1)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+    _, ids = idx.search(queries, k=10, probes=idx.n_blocks)
+    assert recall_at_k(ids, gt, 10) == 1.0
+
+
+def test_recall_at_modest_probes():
+    base, queries = _data(n=8192)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, seed=1)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+    # 16 of 128 blocks probed
+    _, ids = idx.search(queries, k=10, probes=16)
+    assert recall_at_k(ids, gt, 10) >= 0.95
+
+
+def test_graph_routing_matches_exact_routing_recall():
+    base, queries = _data(n=8192)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, seed=1)
+    idx = BlockHnswIndex(cfg, block_size=64, routing="graph").build(base)
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+    _, ids = idx.search(queries, k=10, probes=16, ef_search=64)
+    r_graph = recall_at_k(ids, gt, 10)
+    idx.routing = "exact"
+    _, ids = idx.search(queries, k=10, probes=16)
+    r_exact = recall_at_k(ids, gt, 10)
+    assert r_graph >= r_exact - 0.03  # beam routing ~ exact routing
+    assert r_graph >= 0.9
+
+
+def test_cosine_metric():
+    base, queries = _data(n=4096)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, metric=Metric.COSINE)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    gt = FlatIndex(base, Metric.COSINE).search(queries, k=10, exact=True)[1]
+    _, ids = idx.search(queries, k=10, probes=16)
+    assert recall_at_k(ids, gt, 10) >= 0.9
+    # distances are pgvector <=> units (1 - cos in [0, 2])
+    d, _ = idx.search(queries[:4], k=5, probes=idx.n_blocks)
+    assert (d >= -1e-5).all() and (d <= 2 + 1e-5).all()
+
+
+def test_ip_metric():
+    base, queries = _data(n=4096)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, metric=Metric.IP)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    gt = FlatIndex(base, Metric.IP).search(queries, k=10, exact=True)[1]
+    _, ids = idx.search(queries, k=10, probes=16)
+    assert recall_at_k(ids, gt, 10) >= 0.9
+
+
+def test_bf16_storage_recall_and_memory():
+    base, queries = _data(n=4096)
+    cfg32 = HnswConfig(dim=32, m=8, ef_construction=32)
+    cfg16 = HnswConfig(dim=32, m=8, ef_construction=32, dtype="bfloat16")
+    i32 = BlockHnswIndex(cfg32, block_size=64).build(base)
+    i16 = BlockHnswIndex(cfg16, block_size=64).build(base)
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+    _, ids = i16.search(queries, k=10, probes=16)
+    assert recall_at_k(ids, gt, 10) >= 0.9
+    assert i16.stats()["memory_bytes"]["blocks"] * 2 == (
+        i32.stats()["memory_bytes"]["blocks"]
+    )
+
+
+def test_delete_tombstones():
+    base, queries = _data(n=2048)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    _, ids0 = idx.search(queries, k=5, probes=idx.n_blocks)
+    victims = np.unique(ids0[ids0 >= 0])[:50]
+    idx.delete(victims)
+    assert idx.size == 2048 - len(victims)
+    _, ids1 = idx.search(queries, k=5, probes=idx.n_blocks)
+    assert not np.isin(ids1[ids1 >= 0], victims).any()
+
+
+def test_add_tail_and_compact():
+    base, queries = _data(n=2048)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, seed=3)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base[:1536])
+    new_ids = idx.add(base[1536:])
+    assert idx.size == 2048
+    assert (new_ids == np.arange(1536, 2048)).all()
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+    _, ids = idx.search(queries, k=10, probes=idx.n_blocks)
+    assert recall_at_k(ids, gt, 10) == 1.0  # tail scanned exactly
+    # compact folds the tail into blocks; ids keep meaning
+    idx.compact()
+    assert idx.tail_n == 0 and idx.size == 2048
+    _, ids2 = idx.search(queries, k=10, probes=idx.n_blocks)
+    assert recall_at_k(ids2, gt, 10) == 1.0
+
+
+def test_delete_then_compact_reclaims():
+    base, _ = _data(n=2048)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    idx.delete(np.arange(0, 1024))
+    idx.compact()
+    assert idx.size == 1024
+    # reclaimed: block count shrinks to fit live rows
+    assert idx.n_blocks <= (1024 + 63) // 64 + 1
+    q = base[1500:1504]
+    _, ids = idx.search(q, k=1, probes=idx.n_blocks)
+    assert (ids[:, 0] == np.arange(1500, 1504)).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    base, queries = _data(n=2048)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, dtype="bfloat16")
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    idx.add(np.random.default_rng(0).normal(size=(10, 32)).astype(np.float32))
+    d0, i0 = idx.search(queries, k=10, probes=8)
+    p = str(tmp_path / "blockidx")
+    idx.save(p)
+    idx2 = BlockHnswIndex.load(p)
+    d1, i1 = idx2.search(queries, k=10, probes=8)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+    assert idx2.size == idx.size
+
+
+def test_dim_mismatch_and_nan_rejected():
+    base, _ = _data(n=512)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    with pytest.raises(ValueError, match="expected 32 dimensions"):
+        idx.search(np.zeros((2, 16), np.float32), k=3)
+    bad = base[:4].copy()
+    bad[0, 0] = np.nan
+    with pytest.raises(ValueError, match="NaN or infinity"):
+        idx.add(bad)
+
+
+def test_probes_for_ef_mapping():
+    base, _ = _data(n=4096)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    assert idx.probes_for_ef(40) == 10
+    assert idx.probes_for_ef(4) == 1
+    assert idx.probes_for_ef(10**6) == idx.n_blocks

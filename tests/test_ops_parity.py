@@ -127,3 +127,32 @@ class TestIvfFlat:
     def test_lists_range(self):
         with pytest.raises(ValueError):
             IvfFlatIndex(dim=8, lists=0)
+
+    def test_add_delete(self):
+        base, queries = synthetic_clustered(2000, 8, n_queries=10, seed=33)
+        idx = IvfFlatIndex(dim=8, lists=16, seed=2)
+        idx.build(base[:1500])
+        new_ids = idx.add(base[1500:])
+        assert (new_ids == np.arange(1500, 2000)).all()
+        assert idx.n == 2000
+        # all-probe search over the full set is exact
+        d = ((queries[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(d, axis=1)[:, :10]
+        _, ids = idx.search(queries, k=10, probes=16)
+        assert recall_at_k(ids, gt, 10) > 0.999
+        # delete: tombstoned rows never return
+        victims = np.unique(ids[ids >= 0])[:30]
+        idx.delete(victims)
+        assert idx.n == 2000 - len(victims)
+        _, ids2 = idx.search(queries, k=10, probes=16)
+        assert not np.isin(ids2[ids2 >= 0], victims).any()
+
+    def test_iterative_probes(self):
+        base, queries = synthetic_clustered(4000, 8, n_queries=16, seed=34)
+        idx = IvfFlatIndex(dim=8, lists=32, seed=2)
+        idx.build(base)
+        pred = lambda ids: ids % 4 == 0  # 75% filter
+        d, ids = idx.search_iterative(queries, k=5, probes=1, predicate=pred)
+        valid = ids >= 0
+        assert valid.sum() >= 0.9 * ids.size
+        assert (ids[valid] % 4 == 0).all()

@@ -7,8 +7,9 @@ map and the reference-to-TPU translation.
 """
 
 from tpu_hnsw.config import HnswConfig, Metric
+from tpu_hnsw.index.block import BlockHnswIndex
 from tpu_hnsw.index.flat import FlatIndex
 from tpu_hnsw.index.hnsw import HnswIndex
 
-__all__ = ["HnswConfig", "Metric", "FlatIndex", "HnswIndex"]
+__all__ = ["HnswConfig", "Metric", "FlatIndex", "HnswIndex", "BlockHnswIndex"]
 __version__ = "0.1.0"

@@ -33,7 +33,7 @@ def _load_vectors(path: str) -> np.ndarray:
 
 
 def cmd_build(args):
-    from tpu_hnsw import HnswConfig, HnswIndex, Metric
+    from tpu_hnsw import BlockHnswIndex, HnswConfig, HnswIndex, Metric
     from tpu_hnsw.parallel.partition import PartitionedHnswIndex
 
     data = _load_vectors(args.input)
@@ -52,6 +52,10 @@ def cmd_build(args):
         idx = PartitionedHnswIndex(
             cfg, n_partitions=args.partitions, router=args.router
         )
+        # shard-parallel build when the mesh has enough devices
+        idx.build(data, mesh="auto")
+    elif args.type == "block":
+        idx = BlockHnswIndex(cfg, block_size=args.block_size)
         idx.build(data)
     else:
         idx = HnswIndex(cfg, capacity=len(data))
@@ -73,11 +77,14 @@ def cmd_build(args):
 def _load_index(path: str):
     import os
 
+    from tpu_hnsw.index.block import BlockHnswIndex
     from tpu_hnsw.index.hnsw import HnswIndex
     from tpu_hnsw.parallel.partition import PartitionedHnswIndex
 
     if os.path.exists(os.path.join(path, "partitioned.json")):
         return PartitionedHnswIndex.load(path)
+    if os.path.exists(os.path.join(path, "blocks.npz")):
+        return BlockHnswIndex.load(path)
     return HnswIndex.load(path)
 
 
@@ -112,7 +119,10 @@ def cmd_eval(args):
         gt = DS.read_ivecs(args.gt)[: len(q), : args.k]
     else:
         cfg = idx.cfg
-        if hasattr(idx, "graph"):
+        if hasattr(idx, "_export_live"):  # BlockHnswIndex
+            live_ids, base = idx._export_live()
+            gt = live_ids[E.ground_truth(base, q, args.k, cfg.metric)]
+        elif hasattr(idx, "graph"):
             base = np.asarray(idx.graph.vectors[: idx.n]).astype(np.float32)
             gt = E.ground_truth(base, q, args.k, cfg.metric)
         else:
@@ -165,6 +175,12 @@ def main(argv=None):
     b.add_argument("--build-expand", type=int, default=4)
     b.add_argument("--partitions", type=int, default=1)
     b.add_argument("--router", default="hash", choices=["hash", "centroid"])
+    b.add_argument(
+        "--type", default="graph", choices=["graph", "block"],
+        help="graph = classical HNSW; block = HNSW routing graph over "
+        "cluster-blocked level 0 (the TPU serving engine)",
+    )
+    b.add_argument("--block-size", type=int, default=256)
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="query an index (ORDER BY ... LIMIT k)")

@@ -1,0 +1,659 @@
+"""BlockHnswIndex — HNSW with a cluster-blocked level 0 (the flagship
+serving engine).
+
+Why this exists: the classical HNSW hot loop is a chain of *random row
+gathers* (one ~512B vector row per candidate). On TPU those gathers run
+at ~50M rows/s — two orders of magnitude below HBM bandwidth — because
+each row is far below the DMA-efficient transfer size. The reference
+never faces this: Postgres page reads are 8KB and CPU caches hide the
+rest (upstream ``pgvector:src/hnswscan.c`` per-hop buffer reads).
+
+The TPU-native fix keeps the HNSW *structure* but changes the unit of
+level 0 from "one vector" to "one block of S spatially-clustered
+vectors stored contiguously in HBM":
+
+- vectors are k-means clustered and packed into ``[B, S, d]`` blocks
+  (B = ceil(n/S)); a block is the gather granularity (S*d*4 ~ 128KB —
+  comfortably DMA-efficient, so block gathers stream at near HBM speed);
+- the *upper levels* are a genuine HNSW graph (level assignment,
+  SelectNeighbors pruning, beam search — :class:`HnswIndex`) built over
+  the B block centroids;
+- a query descends the centroid graph to its top-``probes`` blocks
+  (for small B an exact centroid scan — equivalent to running the beam
+  with ef=B — is cheaper and is used automatically), then expands those
+  blocks *densely on the MXU*: contiguous gather + fused distance matmul
+  + top-k. Every byte read is a candidate scored.
+
+This is the "IVF-hybrid level 0" design from docs/ARCHITECTURE.md §6:
+the per-hop pointer chase of ``HnswSearchLayer`` becomes one batched
+block expansion, and the beam's candidate pool becomes the top-k over
+all expanded rows.
+
+Deletes tombstone rows in place (vacuum analogue); inserts go to a
+flat-scanned spill tail (the analogue of upstream's unindexed-pending
+semantics for IVF-style layouts) and are folded into blocks at
+``compact()`` (re-cluster).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_hnsw.config import HnswConfig, Metric, validate_ef_search
+from tpu_hnsw.index.hnsw import HnswIndex
+from tpu_hnsw.ops import distance as D
+from tpu_hnsw.ops import topk as T
+from tpu_hnsw.parallel import kmeans as KM
+
+INF = jnp.float32(jnp.inf)
+
+
+def _pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (static shapes; one compile per (Q, p, k) bucket)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _expand_blocks(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
+                   k: int, metric: Metric):
+    """Score every row of each query's selected blocks, return top-k.
+
+    blocks [B, S, d] (storage dtype), blocks_sq [B, S] f32,
+    block_ids [B, S] int32 (-1 = dead/pad), q [Q, d] f32, bids [Q, p].
+    Returns (scores [Q, k] f32 ascending, ids [Q, k] int32, -1 padded).
+
+    The gather is *contiguous per block* (S*d elements per index), so it
+    streams at HBM speed; scoring is one fused batched matmul.
+    """
+    Q, p = bids.shape
+    S = blocks.shape[1]
+    g = jnp.take(blocks, bids, axis=0)        # [Q, p, S, d]
+    gsq = jnp.take(blocks_sq, bids, axis=0)   # [Q, p, S]
+    ids = jnp.take(block_ids, bids, axis=0)   # [Q, p, S]
+    # f32 storage: HIGHEST keeps f32-grade scores (the MXU would otherwise
+    # round inputs to bf16 and flip near-ties vs the exact oracle); bf16
+    # storage is already rounded, so DEFAULT costs nothing more.
+    prec = (jax.lax.Precision.DEFAULT if blocks.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    dots = jnp.einsum(
+        "qpsd,qd->qps", g, q.astype(blocks.dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    if metric is Metric.L2:
+        sc = jnp.maximum(q_sq[:, None, None] + gsq - 2.0 * dots, 0.0)
+    else:  # IP / COSINE (pre-normalized)
+        sc = -dots
+    flat_sc = jnp.where(ids < 0, INF, sc).reshape(Q, p * S)
+    flat_ids = ids.reshape(Q, p * S)
+    vals, sel = T.topk_smallest_fast(flat_sc, k)
+    out_ids = jnp.where(
+        jnp.isfinite(vals), jnp.take_along_axis(flat_ids, sel, axis=1), -1
+    )
+    return vals, out_ids
+
+
+@functools.partial(jax.jit, static_argnames=("p", "metric"))
+def _route_exact(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
+                 metric: Metric):
+    """Exact top-p blocks per query: one [Q, B] MXU matmul + top_k.
+
+    Semantically the ef=B degenerate case of the centroid-graph beam
+    search — exact routing, used when B is small enough that the scan is
+    cheaper than traversal. ``n_blocks`` masks padded centroid rows.
+    """
+    dots = jax.lax.dot_general(
+        q.astype(centroids.dtype), centroids.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.L2:
+        sc = q_sq[:, None] + c_sq[None, :] - 2.0 * dots
+    else:
+        sc = -dots
+    cols = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+    sc = jnp.where(cols < n_blocks, sc, INF)
+    _, bids = T.topk_smallest_fast(sc, p)
+    return bids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _scan_tail(tail, tail_sq, tail_ids, q, q_sq, *, k: int, metric: Metric):
+    """Exact scan of the spill tail [T, d] (T is small)."""
+    dots = jax.lax.dot_general(
+        q.astype(tail.dtype), tail.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.L2:
+        sc = jnp.maximum(q_sq[:, None] + tail_sq[None, :] - 2.0 * dots, 0.0)
+    else:
+        sc = -dots
+    sc = jnp.where((tail_ids < 0)[None, :], INF, sc)
+    kk = min(k, tail.shape[0])
+    vals, sel = T.topk_smallest(sc, kk)
+    ids = jnp.where(jnp.isfinite(vals), jnp.take(tail_ids, sel), -1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, ids
+
+
+# ---------------------------------------------------------------------------
+# balanced block assignment
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _top_blocks_chunk(x, x_sq, cents, c_sq, *, t: int):
+    """Top-t nearest block centroids per row (L2): [chunk, t] ids+dists."""
+    dots = jax.lax.dot_general(
+        x, cents.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sc = x_sq[:, None] + c_sq[None, :] - 2.0 * dots
+    return T.topk_smallest_fast(sc, t)
+
+
+def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
+                     B: int, t: int = 8) -> np.ndarray:
+    """Assign each row to a block of capacity S, preferring near blocks.
+
+    Greedy rounds over each point's top-t centroid choices: round r takes,
+    for every block, its closest still-unassigned r-th-choice points up to
+    remaining capacity (ties to distance). Leftovers (capacity exhausted
+    at all t choices) fill blocks with free slots in distance-agnostic
+    order — rare when B*S has slack over n.
+
+    Returns block id per row [n]. Host-side but fully vectorized (argsort
+    rounds); the top-t candidate matrix comes from device matmuls.
+    """
+    n = x.shape[0]
+    xj = jnp.asarray(x)
+    cj = jnp.asarray(centroids)
+    c_sq = jnp.sum(cj * cj, axis=-1)
+    step = 1 << 17
+    dd, ii = [], []
+    for s in range(0, n, step):
+        xb = xj[s : s + step]
+        d, i = _top_blocks_chunk(
+            xb, jnp.sum(xb * xb, -1), cj, c_sq, t=min(t, B)
+        )
+        dd.append(np.asarray(d))
+        ii.append(np.asarray(i))
+    cand_d = np.concatenate(dd)   # [n, t]
+    cand_i = np.concatenate(ii)
+    assign = np.full(n, -1, np.int64)
+    free = np.full(B, S, np.int64)
+    pending = np.arange(n)
+    for r in range(cand_i.shape[1]):
+        if pending.size == 0:
+            break
+        blk = cand_i[pending, r].astype(np.int64)
+        dist = cand_d[pending, r]
+        order = np.lexsort((dist, blk))
+        blk_s = blk[order]
+        # rank of each point within its block group this round
+        first = np.searchsorted(blk_s, blk_s)
+        rank = np.arange(len(blk_s)) - first
+        take = rank < free[blk_s]
+        chosen = pending[order[take]]
+        assign[chosen] = blk_s[take]
+        np.subtract.at(free, blk_s[take], 1)
+        # (free can transiently over-count for blocks hit by few points;
+        # rank<free uses the pre-round value, which is exact because each
+        # point appears once per round)
+        pending = pending[order[~take]]
+    if pending.size:
+        slots = np.repeat(np.arange(B), free)  # leftover capacity, in order
+        assign[pending] = slots[: pending.size]
+    return assign
+
+
+class BlockHnswIndex:
+    """HNSW index with cluster-blocked level 0 (see module docstring).
+
+    config.m / ef_construction apply to the centroid graph (the upper
+    levels); ``block_size`` is the level-0 granularity. ``routing``:
+    "exact" (centroid scan), "graph" (HNSW beam over centroids), or
+    "auto" (exact while B <= exact_routing_max, else graph).
+    """
+
+    EXACT_ROUTING_MAX = 65536
+
+    def __init__(
+        self,
+        config: HnswConfig,
+        block_size: int = 256,
+        routing: str = "auto",
+    ):
+        if routing not in ("auto", "exact", "graph"):
+            raise ValueError("routing must be auto|exact|graph")
+        if config.metric not in (Metric.L2, Metric.IP, Metric.COSINE):
+            raise ValueError(f"{config.metric} unsupported by BlockHnswIndex")
+        self.cfg = config
+        self.block_size = int(block_size)
+        self.routing = routing
+        self.n = 0            # live rows (excl. deleted)
+        self.n_total = 0      # rows ever placed (incl. deleted, excl. tail)
+        self.n_blocks = 0
+        # device state
+        self.blocks = None        # [B_pad, S, d] storage dtype
+        self.blocks_sq = None     # [B_pad, S] f32
+        self.block_ids = None     # [B_pad, S] int32, -1 = dead/pad
+        self.centroids = None     # [B_pad, d] storage dtype
+        self.centroids_sq = None  # [B_pad] f32
+        self.centroid_index: HnswIndex | None = None
+        # host state
+        self._slot_of = None      # np [n_ids] -> flat slot (block*S + s), -1 if in tail
+        # spill tail (inserts since last compact)
+        self.tail_n = 0
+        self._tail_cap = 0
+        self.tail = None          # [T_pad, d]
+        self.tail_sq = None
+        self.tail_ids = None      # [T_pad] int32, -1 pad
+
+    # ------------------------------------------------------------------ util
+    @property
+    def size(self) -> int:
+        return self.n + self.tail_live
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    def _prep(self, data) -> np.ndarray:
+        x = np.asarray(data, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.cfg.dim:
+            raise ValueError(
+                f"expected {self.cfg.dim} dimensions, not {x.shape[1]}"
+            )
+        if not np.isfinite(x).all():
+            raise ValueError("NaN or infinity values are not allowed")
+        if self.cfg.metric.needs_normalized:
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(nrm, 1e-12)
+        return x
+
+    def _use_graph_routing(self) -> bool:
+        if self.routing == "graph":
+            return True
+        if self.routing == "exact":
+            return False
+        return self.n_blocks > self.EXACT_ROUTING_MAX
+
+    def probes_for_ef(self, ef_search: int) -> int:
+        """Map the ef_search GUC onto a block-probe count.
+
+        ef_search bounds the classical level-0 candidate pool; with
+        blocked level 0 the pool is ``probes`` whole blocks. probes =
+        ceil(ef/4) makes the standard ef sweep (10..400) cover the
+        useful probe range (3..100) at the default S=256.
+        """
+        return max(1, min(math.ceil(ef_search / 4), self.n_blocks))
+
+    # ----------------------------------------------------------------- build
+    def build(self, data, kmeans_iters: int = 10,
+              device_data: jax.Array | None = None) -> "BlockHnswIndex":
+        """CREATE INDEX analogue. k-means + pack + centroid-graph build.
+
+        ``device_data`` (optional, [n, d] on device) skips the host
+        round-trip when the caller already holds device-resident vectors.
+        """
+        x = self._prep(data)
+        self._install_blocks(x, self._pack(x, kmeans_iters), x.shape[0])
+        return self
+
+    def _pack(self, x: np.ndarray, kmeans_iters: int = 10) -> np.ndarray:
+        """Cluster + capacity-balanced packing: [B, S] global ids (-1 pad).
+
+        k-means proposes B centroids; :func:`_balanced_assign` places every
+        row in a near block under the exact-S capacity, which keeps blocks
+        spatially pure (the chop-a-sorted-stream alternative mixes cluster
+        boundaries into blocks and measurably costs recall/probe).
+        """
+        n = x.shape[0]
+        S = self.block_size
+        B = max(1, math.ceil(n / S))
+        if B == 1:
+            assign = np.zeros(n, np.int64)
+        else:
+            centroids, _ = KM.kmeans(
+                x, B, iters=kmeans_iters, seed=self.cfg.seed,
+                sample=min(n, max(65536, 32 * B)), balance=True,
+                assign_full=False,
+            )
+            assign = _balanced_assign(x, centroids, S, B)
+        order = np.argsort(assign, kind="stable")
+        a_sorted = assign[order]
+        first = np.searchsorted(a_sorted, np.arange(B))
+        pos_within = np.arange(n) - first[a_sorted]
+        block_ids = np.full((B, S), -1, np.int32)
+        block_ids[a_sorted, pos_within] = order.astype(np.int32)
+        return block_ids
+
+    def _install_blocks(self, x: np.ndarray, block_ids: np.ndarray, n: int):
+        """Device-install packed blocks + recomputed centroids + graph.
+
+        x: [n, d] host f32 (already prepped); block_ids: [B, S] int32
+        with -1 padding.
+        """
+        S = self.block_size
+        B = block_ids.shape[0]
+        xj = jnp.asarray(x)
+        safe = np.where(block_ids < 0, 0, block_ids)
+        gathered = jnp.take(xj, jnp.asarray(safe.reshape(-1)), axis=0)
+        valid = jnp.asarray((block_ids >= 0).reshape(-1, 1).astype(np.float32))
+        gathered = gathered * valid  # zero dead rows
+        # storage-dtype blocks FIRST, centroids from those: load() recomputes
+        # centroids from the persisted blocks, so deriving them from the
+        # same (possibly bf16-rounded) values keeps save/load bit-identical
+        blocks = gathered.reshape(B, S, -1).astype(self.dtype)
+        # ---- recomputed per-block centroids (mean of live rows)
+        counts = jnp.maximum(valid.reshape(B, S).sum(axis=1), 1.0)
+        cents = blocks.astype(jnp.float32).sum(axis=1) / counts[:, None]
+        self.blocks = blocks
+        self.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+        self.block_ids = jnp.asarray(block_ids)
+        self.centroids = cents.astype(self.dtype)
+        self.centroids_sq = jnp.sum(cents * cents, axis=-1)
+        self.n_blocks = B
+        self.n = n
+        self.n_total = n
+        slot = np.full(int(block_ids.max()) + 1 if n else 0, -1, np.int64)
+        flat = block_ids.reshape(-1)
+        live = flat >= 0
+        slot[flat[live]] = np.arange(B * S, dtype=np.int64)[live]
+        self._slot_of = slot
+        # ---- 3. upper levels: true HNSW graph over block centroids.
+        # raw metric distances between centroids behave like the element
+        # metric (mean of cluster members), so the graph uses the same cfg
+        # but skips re-normalization (centroid of normalized vecs isn't
+        # unit; the search only needs the *ordering*, which IP gives).
+        ccfg = HnswConfig(
+            dim=self.cfg.dim,
+            metric=(Metric.IP if self.cfg.metric is Metric.COSINE
+                    else self.cfg.metric),
+            m=self.cfg.m,
+            ef_construction=self.cfg.ef_construction,
+            dtype=self.cfg.dtype,
+            wave_size=self.cfg.wave_size,
+            descent_ef=self.cfg.descent_ef,
+            seed=self.cfg.seed,
+        )
+        self.centroid_index = HnswIndex(ccfg, capacity=B)
+        self.centroid_index.build(np.asarray(cents, np.float32))
+        self._reset_tail()
+
+    def _reset_tail(self):
+        self.tail_n = 0  # high-water mark (next free tail slot)
+        self.tail_live = 0  # live (non-tombstoned) tail rows
+        self._tail_cap = 0
+        self.tail = None
+        self.tail_sq = None
+        self.tail_ids = None
+
+    # ---------------------------------------------------------------- search
+    def _route(self, x_host, qj, q_sq, probes: int, ef_route: int):
+        if self._use_graph_routing():
+            # HNSW beam over the centroid graph: ids are block indices
+            _, bids = self.centroid_index.search_device(
+                x_host, k=probes,
+                ef_search=min(max(ef_route, probes), 1000),
+            )
+            sent = self.centroid_index.graph.sentinel
+            # a sentinel (missing) route entry repeats block 0: scoring a
+            # block twice is harmless (duplicate candidates lose top-k ties)
+            return jnp.where(bids == sent, 0, bids).astype(jnp.int32)
+        return _route_exact(
+            self.centroids, self.centroids_sq, qj, q_sq,
+            jnp.int32(self.n_blocks), p=probes, metric=self.cfg.metric,
+        )
+
+    def search_device(self, queries, k: int = 10, ef_search: int = 40,
+                      probes: int | None = None):
+        """Async device-resident search. Returns (distances, ids) device
+        arrays in pgvector operator units; missing ids are -1."""
+        validate_ef_search(max(ef_search, 1))
+        if self.n_blocks == 0:
+            raise ValueError("index is empty")
+        if probes is None:
+            probes = self.probes_for_ef(max(ef_search, k))
+        probes = max(1, min(probes, self.n_blocks))
+        x = self._prep(queries)
+        nq = x.shape[0]
+        qpad = _pow2(nq)
+        if qpad != nq:
+            x = np.concatenate([x, np.zeros((qpad - nq, x.shape[1]), x.dtype)])
+        qj = jnp.asarray(x)
+        q_sq = D.squared_norms(qj)
+        bids = self._route(x, qj, q_sq, probes,
+                           ef_route=max(ef_search, probes))
+        sc, ids = _expand_blocks(
+            self.blocks, self.blocks_sq, self.block_ids, qj, q_sq, bids,
+            k=k, metric=self.cfg.metric,
+        )
+        if self.tail_n:
+            t_sc, t_ids = _scan_tail(
+                self.tail, self.tail_sq, self.tail_ids, qj, q_sq,
+                k=k, metric=self.cfg.metric,
+            )
+            sc, sel = T.topk_smallest(jnp.concatenate([sc, t_sc], axis=1), k)
+            ids = jnp.take_along_axis(
+                jnp.concatenate([ids, t_ids], axis=1), sel, axis=1
+            )
+        return D.score_to_distance(sc[:nq], self.cfg.metric), ids[:nq]
+
+    def search(self, queries, k: int = 10, ef_search: int = 40,
+               probes: int | None = None, return_distances: bool = True):
+        d, i = self.search_device(queries, k=k, ef_search=ef_search,
+                                  probes=probes)
+        d, i = jax.device_get((d, i))
+        if not return_distances:
+            return np.asarray(i)
+        return np.asarray(d), np.asarray(i)
+
+    # ------------------------------------------------------------ add/delete
+    def add(self, data) -> np.ndarray:
+        """Insert vectors into the spill tail (hnswinsert analogue for the
+        blocked layout; fold into blocks with :meth:`compact`)."""
+        x = self._prep(data)
+        count = x.shape[0]
+        ids = np.arange(self.n_total + self.tail_n,
+                        self.n_total + self.tail_n + count, dtype=np.int32)
+        need = self.tail_n + count
+        if need > self._tail_cap:
+            new_cap = _pow2(max(need, 1024))
+            nt = np.zeros((new_cap, self.cfg.dim), np.float32)
+            nid = np.full(new_cap, -1, np.int32)
+            if self.tail_n:
+                nt[: self.tail_n] = np.asarray(self.tail[: self.tail_n],
+                                               np.float32)
+                nid[: self.tail_n] = np.asarray(self.tail_ids[: self.tail_n])
+            self._tail_cap = new_cap
+            self.tail = jnp.asarray(nt).astype(self.dtype)
+            self.tail_sq = D.squared_norms(self.tail)
+            self.tail_ids = jnp.asarray(nid)
+        self.tail = self.tail.at[self.tail_n : need].set(
+            jnp.asarray(x).astype(self.dtype)
+        )
+        self.tail_sq = D.squared_norms(self.tail)
+        self.tail_ids = self.tail_ids.at[self.tail_n : need].set(
+            jnp.asarray(ids)
+        )
+        self.tail_n = need
+        self.tail_live += count
+        if self._slot_of is None or len(self._slot_of) < ids[-1] + 1:
+            grown = np.full(ids[-1] + 1, -1, np.int64)
+            if self._slot_of is not None:
+                grown[: len(self._slot_of)] = self._slot_of
+            self._slot_of = grown
+        self._slot_of[ids] = -2  # in tail
+        return ids
+
+    def delete(self, ids) -> None:
+        """Tombstone rows (hnswbulkdelete analogue): id slots become -1 and
+        their vectors never score again (masked at expand time)."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        ids = ids[(ids >= 0) & (ids < len(self._slot_of))]
+        slots = self._slot_of[ids]
+        blk_slots = slots[slots >= 0]
+        if blk_slots.size:
+            S = self.block_size
+            self.block_ids = self.block_ids.at[
+                jnp.asarray(blk_slots // S), jnp.asarray(blk_slots % S)
+            ].set(-1)
+            self.n -= int(blk_slots.size)
+        in_tail = ids[slots == -2]
+        if in_tail.size and self.tail_n:
+            t_ids = np.asarray(self.tail_ids)
+            kill = np.isin(t_ids, in_tail)
+            self.tail_ids = jnp.asarray(np.where(kill, -1, t_ids))
+            self.tail_live -= int(kill.sum())
+        self._slot_of[ids] = -1
+
+    def compact(self) -> None:
+        """Re-cluster blocks + tail into a fresh packed layout (vacuum +
+        page-reclamation analogue): dead rows are dropped, tail rows are
+        placed into blocks, centroids and the centroid graph are rebuilt."""
+        live_ids, live_vecs = self._export_live()
+        if live_ids.size == 0:
+            raise ValueError("cannot compact an index with every row deleted")
+        # rebuild preserving original global ids
+        x_by_id = np.zeros((int(live_ids.max()) + 1, self.cfg.dim), np.float32)
+        x_by_id[live_ids] = live_vecs
+        block_ids = self._pack(live_vecs, kmeans_iters=5)
+        # _pack indexes into live_vecs rows; map back to global ids
+        block_ids = np.where(
+            block_ids >= 0, live_ids[np.clip(block_ids, 0, None)], -1
+        ).astype(np.int32)
+        self._install_blocks(x_by_id, block_ids, live_ids.size)
+        self.n_total = int(live_ids.max()) + 1  # keep id-space monotone
+
+    def _export_live(self) -> tuple[np.ndarray, np.ndarray]:
+        """(global ids, vectors f32) of all live rows (blocks + tail)."""
+        bi = np.asarray(self.block_ids).reshape(-1)
+        bv = np.asarray(self.blocks, np.float32).reshape(-1, self.cfg.dim)
+        live = bi >= 0
+        ids = [bi[live]]
+        vecs = [bv[live]]
+        if self.tail_n:
+            ti = np.asarray(self.tail_ids)
+            tv = np.asarray(self.tail, np.float32)
+            tl = ti >= 0
+            ids.append(ti[tl])
+            vecs.append(tv[tl])
+        return np.concatenate(ids), np.concatenate(vecs)
+
+    # ----------------------------------------------------------------- stats
+    def stats(self) -> dict:
+        comp = {}
+        for name in ("blocks", "blocks_sq", "block_ids", "centroids",
+                     "centroids_sq"):
+            a = getattr(self, name)
+            if a is not None:
+                comp[name] = a.nbytes
+        if self.centroid_index is not None and self.centroid_index.graph:
+            comp["centroid_graph"] = self.centroid_index.stats()[
+                "memory_total_bytes"
+            ]
+        total = sum(comp.values())
+        return {
+            "n": self.n,
+            "tail_n": self.tail_n,
+            "n_blocks": self.n_blocks,
+            "block_size": self.block_size,
+            "dim": self.cfg.dim,
+            "dtype": self.cfg.dtype,
+            "routing": "graph" if self._use_graph_routing() else "exact",
+            "memory_bytes": comp,
+            "memory_total_bytes": total,
+            "bytes_per_element": round(total / max(self.size, 1), 1),
+            "fill_factor": round(
+                self.n / max(self.n_blocks * self.block_size, 1), 4
+            ),
+        }
+
+    # ----------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        blocks = np.asarray(self.blocks)
+        if blocks.dtype != np.float32:  # bf16: persist natively as uint16
+            blocks = blocks.view(np.uint16)
+        np.savez(
+            os.path.join(path, "blocks.npz"),
+            blocks=blocks,
+            block_ids=np.asarray(self.block_ids),
+            slot_of=self._slot_of if self._slot_of is not None
+            else np.zeros(0, np.int64),
+        )
+        import dataclasses
+
+        meta = {
+            "config": {**dataclasses.asdict(self.cfg),
+                       "metric": self.cfg.metric.value},
+            "block_size": self.block_size,
+            "routing": self.routing,
+            "n": self.n,
+            "n_total": self.n_total,
+            "n_blocks": self.n_blocks,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        self.centroid_index.save(os.path.join(path, "centroid_graph"))
+        if self.tail_n:
+            np.savez(
+                os.path.join(path, "tail.npz"),
+                tail=np.asarray(self.tail, np.float32),
+                tail_ids=np.asarray(self.tail_ids),
+                tail_n=self.tail_n,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BlockHnswIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        c = dict(meta["config"])
+        c["metric"] = Metric(c["metric"])
+        cfg = HnswConfig(**c)
+        idx = cls(cfg, block_size=meta["block_size"], routing=meta["routing"])
+        z = np.load(os.path.join(path, "blocks.npz"))
+        raw = z["blocks"]
+        if raw.dtype == np.uint16:
+            blocks = jnp.asarray(raw).view(jnp.bfloat16)
+        else:
+            blocks = jnp.asarray(raw).astype(idx.dtype)
+        idx.blocks = blocks
+        idx.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+        idx.block_ids = jnp.asarray(z["block_ids"])
+        idx._slot_of = z["slot_of"]
+        cents = blocks.astype(jnp.float32).sum(axis=1) / jnp.maximum(
+            (idx.block_ids >= 0).sum(axis=1).astype(jnp.float32), 1.0
+        )[:, None]
+        idx.centroids = cents.astype(idx.dtype)
+        idx.centroids_sq = jnp.sum(cents * cents, axis=-1)
+        idx.n = meta["n"]
+        idx.n_total = meta["n_total"]
+        idx.n_blocks = meta["n_blocks"]
+        idx.centroid_index = HnswIndex.load(os.path.join(path, "centroid_graph"))
+        idx._reset_tail()
+        tp = os.path.join(path, "tail.npz")
+        if os.path.exists(tp):
+            t = np.load(tp)
+            idx._tail_cap = t["tail"].shape[0]
+            idx.tail = jnp.asarray(t["tail"]).astype(idx.dtype)
+            idx.tail_sq = D.squared_norms(idx.tail)
+            idx.tail_ids = jnp.asarray(t["tail_ids"])
+            idx.tail_n = int(t["tail_n"])
+            idx.tail_live = int((t["tail_ids"] >= 0).sum())
+        return idx

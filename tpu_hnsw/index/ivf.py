@@ -78,7 +78,8 @@ class IvfFlatIndex:
         self.centroids: np.ndarray | None = None
         self.vecs_by_list = None  # [L, M, d]
         self.ids_by_list = None  # [L, M]
-        self.n = 0
+        self.n = 0        # live rows
+        self.n_total = 0  # ids ever issued (monotone id space)
 
     def build(self, data) -> "IvfFlatIndex":
         data = np.asarray(data, np.float32)
@@ -99,16 +100,71 @@ class IvfFlatIndex:
         maxlen = ((maxlen + 127) // 128) * 128
         vecs = np.zeros((self.lists, maxlen, self.dim), np.float32)
         ids = np.full((self.lists, maxlen), -1, np.int32)
-        cursor = np.zeros(self.lists, np.int64)
-        for i in range(n):
-            l = assign[i]
-            vecs[l, cursor[l]] = data[i]
-            ids[l, cursor[l]] = i
-            cursor[l] += 1
+        # vectorized packing (a per-row python loop here bites at 10M+):
+        # stable-sort rows by list, then each row's slot is its rank
+        # within its list's contiguous run
+        order = np.argsort(assign, kind="stable")
+        a_s = assign[order]
+        slot = np.arange(n) - np.searchsorted(a_s, a_s)
+        vecs[a_s, slot] = data[order]
+        ids[a_s, slot] = order.astype(np.int32)
         self.vecs_by_list = jnp.asarray(vecs)
         self.ids_by_list = jnp.asarray(ids)
         self.n = n
+        self.n_total = n
         return self
+
+    def add(self, data) -> np.ndarray:
+        """Insert vectors into their nearest lists (``ivfinsert`` analogue:
+        upstream appends the tuple to the closest centroid's list; lists
+        grow as needed). Returns the new global ids."""
+        if self.centroids is None:
+            raise ValueError("build the index before add()")
+        data = np.asarray(data, np.float32)
+        if data.ndim == 1:
+            data = data[None]
+        if data.shape[1] != self.dim:
+            raise ValueError(f"expected {self.dim} dimensions, not {data.shape[1]}")
+        if self.metric.needs_normalized:
+            data = data / np.maximum(
+                np.linalg.norm(data, axis=1, keepdims=True), 1e-12
+            )
+        c = jnp.asarray(self.centroids)
+        assign = np.asarray(
+            jnp.argmin(D.pairwise_scores(jnp.asarray(data), c, Metric.L2), axis=1),
+            np.int64,
+        )
+        # np.asarray over a device array is a read-only view; copy before scatter
+        ids_np = np.array(self.ids_by_list)
+        vecs_np = np.array(self.vecs_by_list)
+        counts = (ids_np >= 0).sum(axis=1)
+        add_counts = np.bincount(assign, minlength=self.lists)
+        need = int((counts + add_counts).max())
+        maxlen = ids_np.shape[1]
+        if need > maxlen:
+            grow = ((need + 127) // 128) * 128 - maxlen
+            vecs_np = np.pad(vecs_np, ((0, 0), (0, grow), (0, 0)))
+            ids_np = np.pad(ids_np, ((0, 0), (0, grow)), constant_values=-1)
+        new_ids = np.arange(self.n_total, self.n_total + len(data), dtype=np.int32)
+        order = np.argsort(assign, kind="stable")
+        a_s = assign[order]
+        slot = counts[a_s] + (np.arange(len(data)) - np.searchsorted(a_s, a_s))
+        vecs_np[a_s, slot] = data[order]
+        ids_np[a_s, slot] = new_ids[order]
+        self.vecs_by_list = jnp.asarray(vecs_np)
+        self.ids_by_list = jnp.asarray(ids_np)
+        self.n += len(data)
+        self.n_total += len(data)
+        return new_ids
+
+    def delete(self, ids) -> None:
+        """Tombstone rows (``ivfvacuum``/bulkdelete analogue): their slots
+        stop scoring; the storage is reclaimed on the next build()."""
+        ids = np.asarray(ids).reshape(-1)
+        ids_np = np.asarray(self.ids_by_list)
+        kill = np.isin(ids_np, ids) & (ids_np >= 0)
+        self.n -= int(kill.sum())
+        self.ids_by_list = jnp.asarray(np.where(kill, -1, ids_np))
 
     def search(self, queries, k: int = 10, probes: int = IVF_DEFAULT_PROBES):
         if self.centroids is None:
@@ -133,6 +189,42 @@ class IvfFlatIndex:
             np.asarray(i),
         )
 
+    def search_iterative(self, queries, k: int = 10,
+                         probes: int = IVF_DEFAULT_PROBES, predicate=None,
+                         max_probes: int = 0):
+        """Iterative probes (upstream v0.8 ``ivfflat.iterative_scan``):
+        when a filter rejects results, re-scan with doubled probes until k
+        passing results or ``max_probes`` (default: all lists) is reached.
+        ``predicate(ids) -> bool mask`` runs host-side."""
+        max_probes = max_probes or self.lists
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        nq = q.shape[0]
+        out_d = np.full((nq, k), np.inf, np.float32)
+        out_i = np.full((nq, k), -1, np.int64)
+        done = np.zeros(nq, bool)
+        p = max(1, probes)
+        while True:
+            # fetch widens with the probe count so a selective filter can
+            # still find k passers among the fetched rows
+            fetch = k if predicate is None else min(max(4 * k, 8 * p), 1000)
+            d, ids = self.search(q, k=fetch, probes=p)
+            mask = predicate(ids) if predicate is not None else ids >= 0
+            mask &= ids >= 0
+            for qi in range(nq):
+                if done[qi]:
+                    continue
+                good = np.where(mask[qi])[0][:k]
+                if len(good) >= k or p >= max_probes:
+                    out_d[qi, : len(good)] = d[qi, good]
+                    out_i[qi, : len(good)] = ids[qi, good]
+                    done[qi] = True
+            if done.all() or p >= max_probes:
+                break
+            p = min(2 * p, max_probes, self.lists)
+        return out_d, out_i
+
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         np.savez(
@@ -144,7 +236,8 @@ class IvfFlatIndex:
         with open(os.path.join(path, "ivf.json"), "w") as f:
             json.dump(
                 {"dim": self.dim, "metric": self.metric.value,
-                 "lists": self.lists, "seed": self.seed, "n": self.n}, f
+                 "lists": self.lists, "seed": self.seed, "n": self.n,
+                 "n_total": self.n_total}, f
             )
 
     @classmethod
@@ -157,4 +250,5 @@ class IvfFlatIndex:
         idx.vecs_by_list = jnp.asarray(z["vecs"])
         idx.ids_by_list = jnp.asarray(z["ids"])
         idx.n = m["n"]
+        idx.n_total = m.get("n_total", m["n"])
         return idx

@@ -97,8 +97,28 @@ def _search_layer_body(
     skip_deleted: bool,
     hist_window: int = 64,
     mask_deleted_results: bool = False,
+    with_counters: bool = False,
+    init_state: tuple | None = None,
+    return_state: bool = False,
+    reset_frontier: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Trace-time body shared by the jitted entry points."""
+    """Trace-time body shared by the jitted entry points.
+
+    ``with_counters=True`` additionally returns (hops [Q], dist_evals [Q])
+    int32 per-query counters — the SURVEY §5 observability metrics
+    (hops/query = loop steps in which the query expanded at least one
+    candidate; dist_evals/query = fresh neighbors actually scored). The
+    counters live in the while-loop carry, so the cost is two vector adds
+    per step.
+
+    ``init_state``/``return_state`` make the search RESUMABLE (the
+    iterative-scan analogue of upstream hnswscan.c keeping its candidate
+    discard/visited lists across GetScanItems calls): state is
+    (pool_d, pool_i, pool_x, hist, hops, evals) with pool width <= ef
+    (narrower pools are padded, so a resume can widen ef). With a given
+    init_state the expanded flags survive, so previously-expanded nodes
+    are never re-expanded — a widened resume continues the search instead
+    of restarting it."""
     E = min(expand, ef)
     deg = g.neighbors0.shape[1] if level0 else g.upper_nbrs.shape[2]
     sent = g.sentinel
@@ -114,12 +134,41 @@ def _search_layer_body(
     qf = q
     q_sq = D.squared_norms(q)
 
-    pool_d, pool_i = init_pool(g, qf, q_sq, init_ids, metric, ef)
-    pool_x = jnp.zeros((Q, ef), dtype=jnp.bool_)  # expanded flags
-    hist = jnp.full((Q, H), sent, dtype=jnp.int32)
+    if init_state is not None:
+        pool_d, pool_i, pool_x, hist, hops, evals = init_state
+        ef_old = pool_d.shape[1]
+        if ef_old < ef:  # widen: pad pool with empty slots
+            pad = ef - ef_old
+            pool_d = jnp.pad(pool_d, ((0, 0), (0, pad)), constant_values=INF)
+            pool_i = jnp.pad(pool_i, ((0, 0), (0, pad)), constant_values=sent)
+            pool_x = jnp.pad(pool_x, ((0, 0), (0, pad)))
+        if reset_frontier:
+            # Widening: previously-pruned candidates live nowhere (the
+            # history ring stores ids for dedup, not distances), so a
+            # strictly-monotone resume would terminate immediately — every
+            # retained pool entry is already expanded. Reset the expanded
+            # flags and the history so the retained pool becomes the new
+            # frontier: descent and pool content survive, and the
+            # geometric ef doubling bounds total rework at <=2x the work
+            # of a single ef_final search (the same argument upstream's
+            # discarded-candidate heap avoids at the cost of unbounded
+            # per-scan memory).
+            pool_x = jnp.zeros_like(pool_x)
+            hist = jnp.full((Q, H), sent, dtype=jnp.int32)
+        if hist.shape[1] < H:
+            hist = jnp.pad(hist, ((0, 0), (0, H - hist.shape[1])),
+                           constant_values=sent)
+        H = hist.shape[1]
+        hist_slots = max(H // E, 1)
+    else:
+        pool_d, pool_i = init_pool(g, qf, q_sq, init_ids, metric, ef)
+        pool_x = jnp.zeros((Q, ef), dtype=jnp.bool_)  # expanded flags
+        hist = jnp.full((Q, H), sent, dtype=jnp.int32)
+        hops = jnp.zeros((Q,), jnp.int32)
+        evals = jnp.zeros((Q,), jnp.int32)
 
     def cond(state):
-        pool_d, pool_i, pool_x, hist, step = state
+        pool_d, pool_i, pool_x, hist, step, hops, evals = state
         valid = pool_i != sent
         unexp = valid & ~pool_x
         min_unexp = jnp.min(jnp.where(unexp, pool_d, INF), axis=1)
@@ -128,7 +177,7 @@ def _search_layer_body(
         return (step < max_steps) & jnp.any(active)
 
     def body(state):
-        pool_d, pool_i, pool_x, hist, step = state
+        pool_d, pool_i, pool_x, hist, step, hops, evals = state
         valid = pool_i != sent
         unexp = valid & ~pool_x
         pool_max = jnp.where(jnp.all(valid, axis=1), jnp.max(pool_d, axis=1), INF)
@@ -174,11 +223,15 @@ def _search_layer_body(
         pool_d, pool_i, pool_x = T.merge_pools(
             pool_d, pool_i, pool_x, dists, ids, jnp.zeros_like(fresh), ef
         )
-        return pool_d, pool_i, pool_x, hist, step + 1
+        if with_counters:
+            hops = hops + jnp.any(ok, axis=1).astype(jnp.int32)
+            evals = evals + jnp.sum(fresh, axis=1).astype(jnp.int32)
+        return pool_d, pool_i, pool_x, hist, step + 1, hops, evals
 
-    pool_d, pool_i, pool_x, hist, _ = jax.lax.while_loop(
-        cond, body, (pool_d, pool_i, pool_x, hist, jnp.int32(0))
+    pool_d, pool_i, pool_x, hist, _, hops, evals = jax.lax.while_loop(
+        cond, body, (pool_d, pool_i, pool_x, hist, jnp.int32(0), hops, evals)
     )
+    state = (pool_d, pool_i, pool_x, hist, hops, evals)
     if mask_deleted_results:
         # Tombstoned elements navigate like live ones (upstream scans keep
         # traversing marked-deleted elements until vacuum repairs the
@@ -194,6 +247,10 @@ def _search_layer_body(
             jnp.int32(sent),
             jnp.take_along_axis(pool_i, sel, axis=1),
         )
+    if return_state:
+        return pool_d, pool_i, state
+    if with_counters:
+        return pool_d, pool_i, hops, evals
     return pool_d, pool_i
 
 
@@ -234,6 +291,95 @@ def search_layer(
         max_steps=max_steps,
         metric=metric,
         skip_deleted=skip_deleted,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "descent_ef", "max_steps")
+)
+def descend_seeds(
+    g: G.HnswGraph,
+    q: jax.Array,
+    entry,
+    entry_level,
+    down_to,
+    *,
+    metric: Metric = Metric.L2,
+    descent_ef: int = 1,
+    max_steps: int = 128,
+) -> jax.Array:
+    """Greedy upper-level descent producing seeds for a search at level
+    ``down_to`` (jit entry point; ``down_to`` is dynamic).
+
+    This is the routing half of HnswFindElementNeighbors (upstream
+    pgvector:src/hnswutils.c): level-0 adjacency is short-range by
+    construction, so a level-0-only beam from the global entry point can
+    be stuck in the entry's basin on clustered data — repairs/insert
+    searches MUST route through the upper levels first.
+    """
+    return _descend_body(g, q, entry, entry_level, down_to, metric,
+                         max_steps=max_steps, descent_ef=descent_ef)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "expand", "max_steps", "metric", "descent_ef"),
+)
+def search_resumable_start(
+    g: G.HnswGraph,
+    queries: jax.Array,
+    entry,
+    entry_level,
+    *,
+    ef: int,
+    expand: int = 1,
+    max_steps: int = 0,
+    metric: Metric = Metric.L2,
+    descent_ef: int = 1,
+):
+    """First pass of a resumable scan: full search (descent + level-0
+    beam) that ALSO returns the level-0 loop state, so a later
+    :func:`search_resume` can widen ef and continue (upstream
+    hnsw.iterative_scan semantics — the scan keeps its candidate state
+    between batches instead of restarting, SURVEY §3.2).
+
+    Returns (pool_d [Q, ef], pool_i [Q, ef], state)."""
+    if max_steps <= 0:
+        max_steps = ef // max(expand, 1) + 16
+    q = queries.astype(g.vectors.dtype)
+    seeds = _descend_body(g, q, entry, entry_level, 0, metric,
+                          descent_ef=descent_ef)
+    return _search_layer_body(
+        g, q, seeds, 0, level0=True, ef=ef, expand=expand,
+        max_steps=max_steps, metric=metric, skip_deleted=True,
+        mask_deleted_results=True, with_counters=True, return_state=True,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "expand", "max_steps", "metric")
+)
+def search_resume(
+    g: G.HnswGraph,
+    queries: jax.Array,
+    state,
+    *,
+    ef: int,
+    expand: int = 1,
+    max_steps: int = 0,
+    metric: Metric = Metric.L2,
+):
+    """Continue a level-0 scan from saved state with a (possibly wider)
+    ef. Previously-expanded nodes stay expanded — no rework beyond the
+    bounded history window's re-scores."""
+    if max_steps <= 0:
+        max_steps = ef // max(expand, 1) + 16
+    q = queries.astype(g.vectors.dtype)
+    return _search_layer_body(
+        g, q, None, 0, level0=True, ef=ef, expand=expand,
+        max_steps=max_steps, metric=metric, skip_deleted=True,
+        mask_deleted_results=True, with_counters=True, return_state=True,
+        init_state=state, reset_frontier=True,
     )
 
 
@@ -281,7 +427,10 @@ def _descend_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "expand", "max_steps", "metric", "descent_ef"),
+    static_argnames=(
+        "k", "ef", "expand", "max_steps", "metric", "descent_ef",
+        "with_counters",
+    ),
 )
 def _search_jit(
     g: G.HnswGraph,
@@ -295,15 +444,20 @@ def _search_jit(
     max_steps: int,
     metric: Metric,
     descent_ef: int = 1,
+    with_counters: bool = False,
 ):
     q = queries.astype(g.vectors.dtype)
     seeds = _descend_body(g, q, entry, entry_level, 0, metric,
                           descent_ef=descent_ef)
-    pool_d, pool_i = _search_layer_body(
+    out = _search_layer_body(
         g, q, seeds, 0, level0=True, ef=ef, expand=expand,
         max_steps=max_steps, metric=metric, skip_deleted=True,
-        mask_deleted_results=True,
+        mask_deleted_results=True, with_counters=with_counters,
     )
+    if with_counters:
+        pool_d, pool_i, hops, evals = out
+        return pool_d[:, :k], pool_i[:, :k], hops, evals
+    pool_d, pool_i = out
     return pool_d[:, :k], pool_i[:, :k]
 
 
@@ -319,13 +473,15 @@ def search(
     expand: int = 1,
     max_steps: int = 0,
     descent_ef: int = 1,
+    with_counters: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full query search (upstream hnswscan.c GetScanItems): greedy descent
     through upper levels then an ef_search-bounded level-0 beam — one
     compiled program per (Q, ef, k) bucket.
 
     Returns (scores [Q, k] ascending, ids [Q, k]); internal score units
-    (see ops.distance.score_to_distance).
+    (see ops.distance.score_to_distance). ``with_counters=True`` appends
+    per-query (hops, dist_evals) int32 arrays (SURVEY §5 metrics).
     """
     ef = max(ef_search, k)
     if max_steps <= 0:
@@ -344,6 +500,7 @@ def search(
         max_steps=max_steps,
         metric=metric,
         descent_ef=descent_ef,
+        with_counters=with_counters,
     )
 
 

@@ -117,7 +117,12 @@ class PartitionedHnswIndex:
         self.n = 0
 
     # ----------------------------------------------------------------- build
-    def build(self, data) -> "PartitionedHnswIndex":
+    def build(self, data, mesh: Mesh | None = None) -> "PartitionedHnswIndex":
+        """Build all partitions. With ``mesh`` given (or ``mesh="auto"``),
+        shards build CONCURRENTLY — one per device — via the shard_map
+        wave step (:mod:`.mesh_build`, SURVEY §1.3 L6 per-core shard
+        build); otherwise shards build in sequence on the default device.
+        """
         data = np.asarray(data, np.float32)
         n = data.shape[0]
         ids = np.arange(n)
@@ -128,22 +133,43 @@ class PartitionedHnswIndex:
         self._part_of = assign.copy()
         self._local_of = np.zeros(n, np.int32)
         self.parts = []
+        if mesh == "auto":
+            ndev = len(jax.devices())
+            mesh = (
+                jax.make_mesh((self.p,), ("shard",))
+                if self.p <= ndev and self.p > 1 else None
+            )
+        part_rows = []
         for p in range(self.p):
             rows = np.where(assign == p)[0]
             self._local_of[rows] = np.arange(len(rows), dtype=np.int32)
-            # size each shard for its actual load (+20% insert headroom);
-            # centroid partitions can be heavily skewed
-            per_cap = max(64, int(1.2 * len(rows)) + 64)
-            sub = HnswIndex(self.cfg, capacity=per_cap)
-            sub._global_ids = rows.astype(np.int32)  # local -> global
-            if len(rows):
-                sub.build(data[rows])
-            else:
-                # zero-row partition (k-means empty cluster / n < p): give
-                # it an empty graph so sharded()._assemble can stack it
-                # (ADVICE r1: sub.graph was None -> AttributeError)
-                sub._ensure_graph(0)
-            self.parts.append(sub)
+            part_rows.append(rows)
+        if mesh is not None:
+            from tpu_hnsw.parallel.mesh_build import build_partitions_mesh
+
+            # the mesh path preps rows itself? No: HnswIndex._prep applies
+            # normalization/validation — apply it here once
+            prepped = HnswIndex(self.cfg)._prep(data)
+            self.parts = build_partitions_mesh(
+                self.cfg, [prepped[r] for r in part_rows], mesh
+            )
+            for p, rows in enumerate(part_rows):
+                self.parts[p]._global_ids = rows.astype(np.int32)
+        else:
+            for p, rows in enumerate(part_rows):
+                # size each shard for its actual load (+20% insert
+                # headroom); centroid partitions can be heavily skewed
+                per_cap = max(64, int(1.2 * len(rows)) + 64)
+                sub = HnswIndex(self.cfg, capacity=per_cap)
+                sub._global_ids = rows.astype(np.int32)  # local -> global
+                if len(rows):
+                    sub.build(data[rows])
+                else:
+                    # zero-row partition (k-means empty cluster / n < p):
+                    # give it an empty graph so sharded()._assemble can
+                    # stack it (ADVICE r1: sub.graph was None)
+                    sub._ensure_graph(0)
+                self.parts.append(sub)
         self.n = n
         return self
 
@@ -289,7 +315,13 @@ class ShardedHnswSearcher:
             )
 
         stacked = [pad_graph(s) for s in parts]
-        arrays = [jnp.stack([s[i] for s in stacked]) for i in range(8)]
+        # mesh-built parts live on distinct devices; restage on a common
+        # device before stacking (stack across devices is an error)
+        dev0 = jax.devices()[0]
+        arrays = [
+            jnp.stack([jax.device_put(s[i], dev0) for s in stacked])
+            for i in range(8)
+        ]
         shardings = NamedSharding(self.mesh, P(self.AXIS))
         arrays = [jax.device_put(a, shardings) for a in arrays]
         (self.vectors, self.vectors_sq, self.nbr0, self.upn, self.ups,

@@ -20,15 +20,20 @@ def ground_truth(base, queries, k, metric):
     return FlatIndex(base, metric).search(queries, k=k)[1]
 
 
-def measure_qps(index, queries, k, ef_search, repeats: int = 3,
-                pipeline: int = 4):
-    """Warm, then median wall-clock over repeats.
+def measure_qps(index, queries, k, ef_search, repeats: int = 10,
+                pipeline: int = 8, min_window_s: float = 0.25,
+                stats_out: dict | None = None, **search_kw):
+    """Warm, then median steady-state QPS over fixed-duration windows.
 
     Throughput semantics: when the index exposes ``search_device``, each
-    repeat dispatches ``pipeline`` async batches before syncing once, so
-    the (tens-of-ms) host<->device round-trip latency is amortized the way
-    a serving system would amortize it — the reported number is steady-
-    state QPS, not single-batch latency.
+    timing window dispatches ``pipeline`` async batches per pass (and as
+    many passes as needed to fill ``min_window_s``) before syncing once,
+    so the (tens-of-ms) host<->device round-trip latency is amortized the
+    way a serving system would amortize it — the reported number is
+    steady-state QPS, not single-batch latency. ``repeats`` windows are
+    taken and the median reported; spread across windows lands in
+    ``stats_out`` (qps_cv, qps_min, qps_max) for reproducibility checks
+    (round-1 used 3 one-pass repeats and saw ~2x run-to-run variance).
     """
     dev = getattr(index, "search_device", None)
     if dev is None:
@@ -45,19 +50,40 @@ def measure_qps(index, queries, k, ef_search, repeats: int = 3,
     nq = len(queries)
     chunk = max(64, nq // pipeline)
     batches = [queries[i : i + chunk] for i in range(0, nq, chunk)]
-    out = [dev(b, k=k, ef_search=ef_search) for b in batches]  # warm compile
+
+    def one_pass():
+        return [dev(b, k=k, ef_search=ef_search, **search_kw) for b in batches]
+
+    out = one_pass()  # warm compile
     jax.block_until_ready(out)
-    times = []
+    # calibrate: how many passes fill one window
+    t0 = time.perf_counter()
+    out = one_pass()
+    jax.block_until_ready(out)
+    dt1 = time.perf_counter() - t0
+    loops = max(1, int(min_window_s / max(dt1, 1e-6)))
+    qpss = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = [dev(b, k=k, ef_search=ef_search) for b in batches]
+        for _ in range(loops):
+            out = one_pass()
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        qpss.append(loops * nq / (time.perf_counter() - t0))
+    qpss = np.asarray(qpss)
+    med = float(np.median(qpss))
+    if stats_out is not None:
+        stats_out.update(
+            qps_cv=round(float(qpss.std() / max(qpss.mean(), 1e-9)), 4),
+            qps_min=round(float(qpss.min()), 1),
+            qps_max=round(float(qpss.max()), 1),
+            window_passes=loops,
+            windows=repeats,
+        )
     ids = np.concatenate([np.asarray(o[1]) for o in out], axis=0)
     sent = getattr(getattr(index, "graph", None), "sentinel", None)
     if sent is not None:
         ids = np.where(ids == sent, -1, ids)
-    return nq / float(np.median(times)), ids
+    return med, ids
 
 
 def sweep(index, queries, gt, k=10, efs=(10, 20, 40, 80, 120, 200, 400)):
