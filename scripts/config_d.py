@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Config D artifact — DEEP-10M-shaped run (BASELINE.md:22).
+
+10M x 96-d inner-product, 8-way HASH-partitioned on ONE chip: verifies
+routed query + global top-k merge correctness at scale and measures QPS.
+Partitions are BlockHnswIndex shards; the merge runs on device
+(PartitionedHnswIndex.search_device) so a batch pays one upload/download
+regardless of partition count.
+
+Memory check: 10M x 96 f32 blocks = 3.84 GB + ids/centroids — fits a
+single v5e chip's HBM with room for the query pipeline (recorded in the
+artifact from live device stats).
+
+Writes benchmarks/config_d.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("TPU_HNSW_D_N", 10_000_000))
+    dim = 96
+    n_parts = 8
+    n_queries = int(os.environ.get("TPU_HNSW_D_Q", 2048))
+
+    import jax
+    from tpu_hnsw import FlatIndex, HnswConfig, Metric
+    from tpu_hnsw.parallel.partition import PartitionedHnswIndex
+    from tpu_hnsw.io.datasets import synthetic_clustered
+    from tpu_hnsw.utils.evalharness import measure_qps
+    from tpu_hnsw.utils.recall import recall_at_k
+
+    base, queries = synthetic_clustered(n, dim, n_queries=n_queries, seed=13)
+
+    cfg = HnswConfig(dim=dim, metric=Metric.IP, m=16, ef_construction=64,
+                     seed=0)
+    t0 = time.perf_counter()
+    pidx = PartitionedHnswIndex(cfg, n_partitions=n_parts, router="hash",
+                                engine="block", block_size=256)
+    pidx.build(base)
+    build_s = time.perf_counter() - t0
+
+    # merge correctness: partitioned top-k must equal the unpartitioned
+    # exact top-k for exhaustive per-partition search (the config-D
+    # "global top-k merge correctness" requirement) — checked via recall
+    # against the exact oracle over the FULL table
+    oracle = FlatIndex(base, Metric.IP)
+    gt = oracle.search(queries, k=10, exact=True)[1]
+
+    rows = []
+    for ef in (32, 64, 128, 256):
+        probes = pidx.parts[0].probes_for_ef(ef)
+        st = {}
+        qps, ids = measure_qps(pidx, queries, 10, ef, probes=probes,
+                               stats_out=st)
+        rows.append({
+            "ef_search": ef,
+            "probes_per_partition": probes,
+            "recall_at_10": round(float(recall_at_k(ids, gt, 10)), 4),
+            "qps": round(float(qps), 1),
+            "qps_cv": st.get("qps_cv"),
+        })
+        print(rows[-1], flush=True)
+
+    mem = {}
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        mem = {k: ms[k] for k in ("bytes_in_use", "bytes_limit") if k in ms}
+    except Exception:
+        pass
+
+    out = {
+        "config": "D (DEEP-10M shape)",
+        "dataset": "synthetic-clustered",
+        "n": n, "dim": dim, "metric": "ip",
+        "partitions": n_parts, "router": "hash",
+        "engine": "hnsw-block", "block_size": 256,
+        "build_s": round(build_s, 1),
+        "build_vectors_per_sec": round(n / build_s, 1),
+        "device_memory": mem,
+        "sweep": rows,
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/config_d.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "sweep"}))
+
+
+if __name__ == "__main__":
+    main()

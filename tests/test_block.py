@@ -164,3 +164,26 @@ def test_probes_for_ef_mapping():
     assert idx.probes_for_ef(40) == 10
     assert idx.probes_for_ef(4) == 1
     assert idx.probes_for_ef(10**6) == idx.n_blocks
+
+
+def test_device_resident_build_matches_host_build():
+    """build(jax.Array) never round-trips the base through the host and
+    produces the same index as the host-input build (same seed/kmeans)."""
+    import jax.numpy as jnp
+
+    base, queries = synthetic_clustered(3000, 16, n_queries=20, seed=4)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, seed=9)
+    a = BlockHnswIndex(cfg, block_size=64).build(base)
+    b = BlockHnswIndex(cfg, block_size=64).build(jnp.asarray(base))
+    assert b.build_stats["device_resident_input"] is True
+    assert a.build_stats["device_resident_input"] is False
+    np.testing.assert_array_equal(
+        np.asarray(a.block_ids), np.asarray(b.block_ids)
+    )
+    _, ia = a.search(queries, k=5, ef_search=40)
+    _, ib = b.search(queries, k=5, ef_search=40)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    with pytest.raises(ValueError):
+        BlockHnswIndex(cfg, block_size=64).build(
+            jnp.asarray(np.full((10, 16), np.nan, np.float32))
+        )

@@ -108,3 +108,36 @@ def test_partitioned_save_load(tmp_path, data):
     idx2 = PartitionedHnswIndex.load(str(tmp_path / "pidx"))
     d2, i2 = idx2.search(queries, k=5, ef_search=40)
     assert (i1 == i2).all()
+
+
+def test_block_engine_partitions_device_merge(data):
+    """engine='block' partitions (config D shape: hash-partitioned blocked
+    shards on one chip) + the device-side fan-out merge: results must
+    match the exact oracle at exhaustive probes, through save/load."""
+    base, queries, gt = data
+    cfg = HnswConfig(**CFG)
+    pidx = PartitionedHnswIndex(
+        cfg, n_partitions=4, router="hash", engine="block", block_size=64
+    )
+    pidx.build(base)
+    d, ids = pidx.search_device(queries, k=10, ef_search=64,
+                                probes=pidx.parts[0].n_blocks)
+    ids = np.asarray(ids)
+    assert recall_at_k(ids, gt, 10) >= 0.999  # exhaustive probes = exact
+    # distances ascending per row, global ids in range
+    d = np.asarray(d)
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+    assert ids.max() < len(base) and (ids >= 0).all()
+    # host-loop path agrees at the same operating point
+    _, ids2 = pidx.search(queries, k=10, ef_search=64)
+    assert recall_at_k(np.asarray(ids2), gt, 10) >= 0.9
+    # save/load round-trip keeps the engine and results
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pidx.save(td)
+        re = PartitionedHnswIndex.load(td)
+        assert re.engine == "block"
+        _, ids3 = re.search_device(queries, k=10, ef_search=64,
+                                   probes=re.parts[0].n_blocks)
+        np.testing.assert_array_equal(ids, np.asarray(ids3))

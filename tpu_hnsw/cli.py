@@ -50,10 +50,12 @@ def cmd_build(args):
     t0 = time.perf_counter()
     if args.partitions > 1:
         idx = PartitionedHnswIndex(
-            cfg, n_partitions=args.partitions, router=args.router
+            cfg, n_partitions=args.partitions, router=args.router,
+            engine=args.type, block_size=args.block_size,
         )
-        # shard-parallel build when the mesh has enough devices
-        idx.build(data, mesh="auto")
+        # graph engine: shard-parallel build when the mesh has enough
+        # devices; block engine builds its shards back-to-back on device
+        idx.build(data, mesh="auto" if args.type == "graph" else None)
     elif args.type == "block":
         idx = BlockHnswIndex(cfg, block_size=args.block_size)
         idx.build(data)
@@ -130,12 +132,19 @@ def cmd_eval(args):
             # yields concat positions; search() returns ORIGINAL global
             # ids — map positions back through the shard id tables or the
             # reported recall is meaningless (ADVICE r1)
-            base = np.concatenate(
-                [np.asarray(p.graph.vectors[: p.n]) for p in idx.parts]
-            ).astype(np.float32)
-            glob = np.concatenate(
-                [np.asarray(p._global_ids[: p.n]) for p in idx.parts]
-            ).astype(np.int64)
+            bases, globs = [], []
+            for part in idx.parts:
+                if hasattr(part, "_export_live"):  # block-engine shard
+                    lids, lvecs = part._export_live()
+                    bases.append(lvecs)
+                    globs.append(part._global_ids[lids])
+                else:
+                    bases.append(
+                        np.asarray(part.graph.vectors[: part.n], np.float32)
+                    )
+                    globs.append(part._global_ids[: part.n])
+            base = np.concatenate(bases).astype(np.float32)
+            glob = np.concatenate(globs).astype(np.int64)
             gt = glob[E.ground_truth(base, q, args.k, cfg.metric)]
     rows = E.sweep(idx, q, gt, k=args.k)
     for r in rows:

@@ -103,6 +103,61 @@ def _expand_blocks(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
     return vals, out_ids
 
 
+@functools.partial(jax.jit, static_argnames=("k", "rerank", "metric"))
+def _expand_blocks_2stage(blocks_score, blocks_sq, block_ids, flat_exact,
+                          q, q_sq, bids, *, k: int, rerank: int,
+                          metric: Metric):
+    """Two-stage block expansion: bf16 scan + exact rerank.
+
+    Stage 1 scores the selected blocks from a bf16 copy (HALF the HBM
+    traffic of the f32 scan — the scan is bandwidth-bound, so this is
+    ~2x QPS) and keeps the best ``rerank`` rows per query by approximate
+    top-k. Stage 2 re-scores only those rows from the exact storage
+    (``flat_exact`` [B*S, d], a free reshape of the f32 blocks) and
+    returns the exact-grade top-k — the same scan-then-rerank shape as
+    FlatIndex's default path (flat.py), applied per probed block set.
+
+    blocks_score [B, S, d] bf16; bids [Q, p] block ids per query.
+    """
+    Q, p = bids.shape
+    S = blocks_score.shape[1]
+    g = jnp.take(blocks_score, bids, axis=0)  # [Q, p, S, d] bf16
+    gsq = jnp.take(blocks_sq, bids, axis=0)
+    ids = jnp.take(block_ids, bids, axis=0)
+    dots = jnp.einsum(
+        "qpsd,qd->qps", g, q.astype(blocks_score.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.L2:
+        sc = jnp.maximum(q_sq[:, None, None] + gsq - 2.0 * dots, 0.0)
+    else:
+        sc = -dots
+    flat_sc = jnp.where(ids < 0, INF, sc).reshape(Q, p * S)
+    r = min(rerank, p * S)
+    _, sel = T.topk_smallest_fast(flat_sc, r)          # [Q, r] positions
+    # positions -> storage slots (block*S + s) -> exact rows
+    blk = jnp.take_along_axis(bids, sel // S, axis=1)  # [Q, r]
+    slots = blk * S + sel % S
+    cand_ids = jnp.take_along_axis(ids.reshape(Q, p * S), sel, axis=1)
+    v = jnp.take(flat_exact, slots, axis=0)            # [Q, r, d]
+    dots2 = jnp.einsum(
+        "qrd,qd->qr", v.astype(jnp.float32), q,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric is Metric.L2:
+        vsq = jnp.sum(v.astype(jnp.float32) ** 2, axis=-1)
+        sc2 = jnp.maximum(q_sq[:, None] + vsq - 2.0 * dots2, 0.0)
+    else:
+        sc2 = -dots2
+    sc2 = jnp.where(cand_ids < 0, INF, sc2)
+    vals, sel2 = T.topk_smallest(sc2, k)
+    out_ids = jnp.where(
+        jnp.isfinite(vals), jnp.take_along_axis(cand_ids, sel2, axis=1), -1
+    )
+    return vals, out_ids
+
+
 @functools.partial(jax.jit, static_argnames=("p", "metric"))
 def _route_exact(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
                  metric: Metric):
@@ -164,7 +219,8 @@ def _top_blocks_chunk(x, x_sq, cents, c_sq, *, t: int):
 
 
 def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
-                     B: int, t: int = 8) -> np.ndarray:
+                     B: int, t: int = 8,
+                     xj: jax.Array | None = None) -> np.ndarray:
     """Assign each row to a block of capacity S, preferring near blocks.
 
     Greedy rounds over each point's top-t centroid choices: round r takes,
@@ -176,8 +232,12 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     Returns block id per row [n]. Host-side but fully vectorized (argsort
     rounds); the top-t candidate matrix comes from device matmuls.
     """
-    n = x.shape[0]
-    xj = jnp.asarray(x)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    if xj is None:
+        xj = jnp.asarray(x)
+    n = xj.shape[0]
     cj = jnp.asarray(centroids)
     c_sq = jnp.sum(cj * cj, axis=-1)
     step = 1 << 17
@@ -187,10 +247,13 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
         d, i = _top_blocks_chunk(
             xb, jnp.sum(xb * xb, -1), cj, c_sq, t=min(t, B)
         )
-        dd.append(np.asarray(d))
+        # f16 halves the device->host payload; ordering survives (greedy
+        # rounds only compare distances within one block group)
+        dd.append(np.asarray(d.astype(jnp.float16)))
         ii.append(np.asarray(i))
     cand_d = np.concatenate(dd)   # [n, t]
     cand_i = np.concatenate(ii)
+    t1 = _time.perf_counter()
     assign = np.full(n, -1, np.int64)
     free = np.full(B, S, np.int64)
     pending = np.arange(n)
@@ -215,6 +278,10 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     if pending.size:
         slots = np.repeat(np.arange(B), free)  # leftover capacity, in order
         assign[pending] = slots[: pending.size]
+    _balanced_assign.last_stats = {
+        "assign_topk_s": round(t1 - t0, 3),
+        "assign_greedy_s": round(_time.perf_counter() - t1, 3),
+    }
     return assign
 
 
@@ -242,6 +309,10 @@ class BlockHnswIndex:
         self.cfg = config
         self.block_size = int(block_size)
         self.routing = routing
+        # two-stage scan (bf16 score + exact rerank) for f32 storage;
+        # rerank_width rows per query survive stage 1
+        self.two_stage = True
+        self.rerank_width = 40
         self.n = 0            # live rows (excl. deleted)
         self.n_total = 0      # rows ever placed (incl. deleted, excl. tail)
         self.n_blocks = 0
@@ -309,12 +380,58 @@ class BlockHnswIndex:
 
         ``device_data`` (optional, [n, d] on device) skips the host
         round-trip when the caller already holds device-resident vectors.
+
+        Per-stage wall times land in ``self.build_stats`` (the
+        pg_stat_progress_create_index phase breakdown analogue — SURVEY
+        §5 build progress; the stage split steers build-throughput work).
         """
-        x = self._prep(data)
-        self._install_blocks(x, self._pack(x, kmeans_iters), x.shape[0])
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if device_data is not None or isinstance(data, jax.Array):
+            # fully device-resident build: validation/normalization run on
+            # device and NOTHING round-trips the base through the host
+            # (production ingest is accelerator-resident embeddings; the
+            # serving fabric's host->device link otherwise dominates the
+            # 1M build at ~18s per 512MB)
+            xj = device_data if device_data is not None else data
+            if xj.ndim != 2 or xj.shape[1] != self.cfg.dim:
+                raise ValueError(
+                    f"expected {self.cfg.dim} dimensions, not "
+                    f"{xj.shape[-1] if xj.ndim else 0}"
+                )
+            xj = xj.astype(jnp.float32)
+            if not bool(jnp.isfinite(xj).all()):
+                raise ValueError("NaN or infinity values are not allowed")
+            if self.cfg.metric.needs_normalized:
+                xj = D.l2_normalize(xj)
+            x = None
+            n = int(xj.shape[0])
+        else:
+            x = self._prep(data)
+            xj = jnp.asarray(x)
+            n = x.shape[0]
+        t1 = _time.perf_counter()
+        bids = self._pack(x, kmeans_iters, xj=xj, n=n)
+        t2 = _time.perf_counter()
+        self._install_blocks(x, bids, n, xj=xj)
+        jax.block_until_ready(self.blocks)
+        t3 = _time.perf_counter()
+        self.build_stats = {
+            "prep_s": round(t1 - t0, 3),
+            "cluster_pack_s": round(t2 - t1, 3),
+            "install_s": round(t3 - t2, 3),
+            **getattr(self, "_pack_stats", {}),
+            **getattr(self, "_install_stats", {}),
+            "device_resident_input": x is None,
+            "total_s": round(t3 - t0, 3),
+            "vectors_per_sec": round(n / max(t3 - t0, 1e-9), 1),
+        }
         return self
 
-    def _pack(self, x: np.ndarray, kmeans_iters: int = 10) -> np.ndarray:
+    def _pack(self, x: np.ndarray | None, kmeans_iters: int = 10,
+              xj: jax.Array | None = None,
+              n: int | None = None) -> np.ndarray:
         """Cluster + capacity-balanced packing: [B, S] global ids (-1 pad).
 
         k-means proposes B centroids; :func:`_balanced_assign` places every
@@ -322,18 +439,31 @@ class BlockHnswIndex:
         spatially pure (the chop-a-sorted-stream alternative mixes cluster
         boundaries into blocks and measurably costs recall/probe).
         """
-        n = x.shape[0]
+        import time as _time
+
+        if n is None:
+            n = x.shape[0]
         S = self.block_size
         B = max(1, math.ceil(n / S))
+        tk = _time.perf_counter()
         if B == 1:
             assign = np.zeros(n, np.int64)
+            ta = tk
         else:
             centroids, _ = KM.kmeans(
-                x, B, iters=kmeans_iters, seed=self.cfg.seed,
+                xj if x is None else x, B, iters=kmeans_iters,
+                seed=self.cfg.seed,
                 sample=min(n, max(65536, 32 * B)), balance=True,
                 assign_full=False,
             )
-            assign = _balanced_assign(x, centroids, S, B)
+            ta = _time.perf_counter()
+            assign = _balanced_assign(x, centroids, S, B, xj=xj)
+        tb = _time.perf_counter()
+        self._pack_stats = {
+            "kmeans_s": round(ta - tk, 3),
+            "balanced_assign_s": round(tb - ta, 3),
+            **getattr(_balanced_assign, "last_stats", {}),
+        }
         order = np.argsort(assign, kind="stable")
         a_sorted = assign[order]
         first = np.searchsorted(a_sorted, np.arange(B))
@@ -342,7 +472,8 @@ class BlockHnswIndex:
         block_ids[a_sorted, pos_within] = order.astype(np.int32)
         return block_ids
 
-    def _install_blocks(self, x: np.ndarray, block_ids: np.ndarray, n: int):
+    def _install_blocks(self, x: np.ndarray, block_ids: np.ndarray, n: int,
+                        xj: jax.Array | None = None):
         """Device-install packed blocks + recomputed centroids + graph.
 
         x: [n, d] host f32 (already prepped); block_ids: [B, S] int32
@@ -350,7 +481,8 @@ class BlockHnswIndex:
         """
         S = self.block_size
         B = block_ids.shape[0]
-        xj = jnp.asarray(x)
+        if xj is None:
+            xj = jnp.asarray(x)
         safe = np.where(block_ids < 0, 0, block_ids)
         gathered = jnp.take(xj, jnp.asarray(safe.reshape(-1)), axis=0)
         valid = jnp.asarray((block_ids >= 0).reshape(-1, 1).astype(np.float32))
@@ -364,6 +496,13 @@ class BlockHnswIndex:
         cents = blocks.astype(jnp.float32).sum(axis=1) / counts[:, None]
         self.blocks = blocks
         self.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+        # bf16 scoring copy for the two-stage scan (f32 storage only:
+        # halves stage-1 HBM traffic for +50% memory; bf16 storage is
+        # its own scoring copy)
+        self.blocks_score = (
+            blocks.astype(jnp.bfloat16) if blocks.dtype == jnp.float32
+            else blocks
+        )
         self.block_ids = jnp.asarray(block_ids)
         self.centroids = cents.astype(self.dtype)
         self.centroids_sq = jnp.sum(cents * cents, axis=-1)
@@ -375,11 +514,29 @@ class BlockHnswIndex:
         live = flat >= 0
         slot[flat[live]] = np.arange(B * S, dtype=np.int64)[live]
         self._slot_of = slot
-        # ---- 3. upper levels: true HNSW graph over block centroids.
-        # raw metric distances between centroids behave like the element
-        # metric (mean of cluster members), so the graph uses the same cfg
-        # but skips re-normalization (centroid of normalized vecs isn't
-        # unit; the search only needs the *ordering*, which IP gives).
+        # ---- 3. upper levels: HNSW graph over block centroids — built
+        # LAZILY (only graph routing traverses it; exact routing at
+        # B <= EXACT_ROUTING_MAX never does, and the 3907-node graph
+        # build measured 16s of a 44s 1M build)
+        self.centroid_index = None
+        self._install_stats = {}
+        if self._use_graph_routing():
+            self._ensure_centroid_graph()
+        self._reset_tail()
+
+    def _ensure_centroid_graph(self) -> HnswIndex:
+        """Build (once) the true HNSW graph over block centroids.
+
+        Raw metric distances between centroids behave like the element
+        metric (mean of cluster members), so the graph uses the same cfg
+        but skips re-normalization (a centroid of normalized vectors is
+        not unit-norm; the routing only needs the *ordering*, which IP
+        gives).
+        """
+        if self.centroid_index is not None:
+            return self.centroid_index
+        import time as _time
+
         ccfg = HnswConfig(
             dim=self.cfg.dim,
             metric=(Metric.IP if self.cfg.metric is Metric.COSINE
@@ -391,9 +548,15 @@ class BlockHnswIndex:
             descent_ef=self.cfg.descent_ef,
             seed=self.cfg.seed,
         )
-        self.centroid_index = HnswIndex(ccfg, capacity=B)
-        self.centroid_index.build(np.asarray(cents, np.float32))
-        self._reset_tail()
+        tg = _time.perf_counter()
+        self.centroid_index = HnswIndex(ccfg, capacity=self.n_blocks)
+        self.centroid_index.build(
+            np.asarray(self.centroids, np.float32)[: self.n_blocks]
+        )
+        self._install_stats = {
+            "centroid_graph_s": round(_time.perf_counter() - tg, 3),
+        }
+        return self.centroid_index
 
     def _reset_tail(self):
         self.tail_n = 0  # high-water mark (next free tail slot)
@@ -407,6 +570,7 @@ class BlockHnswIndex:
     def _route(self, x_host, qj, q_sq, probes: int, ef_route: int):
         if self._use_graph_routing():
             # HNSW beam over the centroid graph: ids are block indices
+            self._ensure_centroid_graph()
             _, bids = self.centroid_index.search_device(
                 x_host, k=probes,
                 ef_search=min(max(ef_route, probes), 1000),
@@ -430,19 +594,47 @@ class BlockHnswIndex:
         if probes is None:
             probes = self.probes_for_ef(max(ef_search, k))
         probes = max(1, min(probes, self.n_blocks))
-        x = self._prep(queries)
-        nq = x.shape[0]
-        qpad = _pow2(nq)
-        if qpad != nq:
-            x = np.concatenate([x, np.zeros((qpad - nq, x.shape[1]), x.dtype)])
-        qj = jnp.asarray(x)
+        if isinstance(queries, jax.Array) and queries.ndim == 2:
+            # device-resident queries: no host round-trip (serving batches
+            # slice a resident device array; the fabric upload otherwise
+            # caps measured QPS). Validation (finite, dims) is the
+            # caller's job on this path.
+            if queries.shape[1] != self.cfg.dim:
+                raise ValueError(
+                    f"expected {self.cfg.dim} dimensions, not "
+                    f"{queries.shape[1]}"
+                )
+            qj = queries.astype(jnp.float32)
+            if self.cfg.metric.needs_normalized:
+                qj = D.l2_normalize(qj)
+            nq = qj.shape[0]
+            qpad = _pow2(nq)
+            if qpad != nq:
+                qj = jnp.pad(qj, ((0, qpad - nq), (0, 0)))
+            x = qj  # graph routing consumes device arrays too
+        else:
+            x = self._prep(queries)
+            nq = x.shape[0]
+            qpad = _pow2(nq)
+            if qpad != nq:
+                x = np.concatenate(
+                    [x, np.zeros((qpad - nq, x.shape[1]), x.dtype)]
+                )
+            qj = jnp.asarray(x)
         q_sq = D.squared_norms(qj)
         bids = self._route(x, qj, q_sq, probes,
                            ef_route=max(ef_search, probes))
-        sc, ids = _expand_blocks(
-            self.blocks, self.blocks_sq, self.block_ids, qj, q_sq, bids,
-            k=k, metric=self.cfg.metric,
-        )
+        if self.blocks.dtype == jnp.float32 and self.two_stage:
+            sc, ids = _expand_blocks_2stage(
+                self.blocks_score, self.blocks_sq, self.block_ids,
+                self.blocks.reshape(-1, self.cfg.dim), qj, q_sq, bids,
+                k=k, rerank=max(self.rerank_width, k), metric=self.cfg.metric,
+            )
+        else:
+            sc, ids = _expand_blocks(
+                self.blocks, self.blocks_sq, self.block_ids, qj, q_sq, bids,
+                k=k, metric=self.cfg.metric,
+            )
         if self.tail_n:
             t_sc, t_ids = _scan_tail(
                 self.tail, self.tail_sq, self.tail_ids, qj, q_sq,
@@ -558,10 +750,12 @@ class BlockHnswIndex:
     # ----------------------------------------------------------------- stats
     def stats(self) -> dict:
         comp = {}
-        for name in ("blocks", "blocks_sq", "block_ids", "centroids",
-                     "centroids_sq"):
-            a = getattr(self, name)
-            if a is not None:
+        for name in ("blocks", "blocks_sq", "blocks_score", "block_ids",
+                     "centroids", "centroids_sq"):
+            a = getattr(self, name, None)
+            if a is not None and not (
+                name == "blocks_score" and a is self.blocks
+            ):
                 comp[name] = a.nbytes
         if self.centroid_index is not None and self.centroid_index.graph:
             comp["centroid_graph"] = self.centroid_index.stats()[
@@ -581,6 +775,11 @@ class BlockHnswIndex:
             "bytes_per_element": round(total / max(self.size, 1), 1),
             "fill_factor": round(
                 self.n / max(self.n_blocks * self.block_size, 1), 4
+            ),
+            **(
+                {"build_stats": self.build_stats}
+                if getattr(self, "build_stats", None)
+                else {}
             ),
         }
 
@@ -610,7 +809,8 @@ class BlockHnswIndex:
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
-        self.centroid_index.save(os.path.join(path, "centroid_graph"))
+        if self.centroid_index is not None:  # lazily built; may not exist
+            self.centroid_index.save(os.path.join(path, "centroid_graph"))
         if self.tail_n:
             np.savez(
                 os.path.join(path, "tail.npz"),
@@ -635,6 +835,10 @@ class BlockHnswIndex:
             blocks = jnp.asarray(raw).astype(idx.dtype)
         idx.blocks = blocks
         idx.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+        idx.blocks_score = (
+            blocks.astype(jnp.bfloat16) if blocks.dtype == jnp.float32
+            else blocks
+        )
         idx.block_ids = jnp.asarray(z["block_ids"])
         idx._slot_of = z["slot_of"]
         cents = blocks.astype(jnp.float32).sum(axis=1) / jnp.maximum(
@@ -645,7 +849,8 @@ class BlockHnswIndex:
         idx.n = meta["n"]
         idx.n_total = meta["n_total"]
         idx.n_blocks = meta["n_blocks"]
-        idx.centroid_index = HnswIndex.load(os.path.join(path, "centroid_graph"))
+        cg = os.path.join(path, "centroid_graph")
+        idx.centroid_index = HnswIndex.load(cg) if os.path.exists(cg) else None
         idx._reset_tail()
         tp = os.path.join(path, "tail.npz")
         if os.path.exists(tp):

@@ -259,11 +259,30 @@ class HnswIndex:
         validate_ef_search(ef_search)
         if self.graph is None or self.n == 0:
             raise ValueError("index is empty")
-        q = self._prep(queries)
-        nq = q.shape[0]
-        qpad = B.next_pow2(nq)
-        if qpad != nq:
-            q = np.concatenate([q, np.zeros((qpad - nq, q.shape[1]), q.dtype)])
+        if isinstance(queries, jax.Array) and queries.ndim == 2:
+            # device-resident queries: skip the host round-trip (the
+            # serving fabric's host<->device bandwidth otherwise caps
+            # QPS); finite/dim validation is the caller's job here
+            if queries.shape[1] != self.cfg.dim:
+                raise ValueError(
+                    f"expected {self.cfg.dim} dimensions, not "
+                    f"{queries.shape[1]}"
+                )
+            q = queries.astype(jnp.float32)
+            if self.cfg.metric.needs_normalized:
+                q = D.l2_normalize(q)
+            nq = q.shape[0]
+            qpad = B.next_pow2(nq)
+            if qpad != nq:
+                q = jnp.pad(q, ((0, qpad - nq), (0, 0)))
+        else:
+            q = self._prep(queries)
+            nq = q.shape[0]
+            qpad = B.next_pow2(nq)
+            if qpad != nq:
+                q = np.concatenate(
+                    [q, np.zeros((qpad - nq, q.shape[1]), q.dtype)]
+                )
         scores, ids = SE.search(
             self.graph,
             jnp.asarray(q),

@@ -61,16 +61,25 @@ def kmeans(
     Returns (centroids [k, d] f32, assignment [N] int32). ``balance``
     re-seeds empty clusters from the largest cluster's points, mirroring
     IVFFlat's split of empty lists.
+
+    ``data`` may be a DEVICE array: sampling/indexing then run as device
+    gathers and nothing round-trips through the host (the device-resident
+    build path — the serving fabric's host->device link is the 1M-build
+    bottleneck otherwise).
     """
-    data = np.asarray(data, np.float32)
+    on_device = isinstance(data, jax.Array)
+    if not on_device:
+        data = np.asarray(data, np.float32)
     n = data.shape[0]
     rng = np.random.default_rng(seed)
     train = data
     if sample is not None and n > sample:
         train = data[rng.choice(n, sample, replace=False)]
-    x = jnp.asarray(train)
+    x = jnp.asarray(train, jnp.float32) if not on_device else (
+        train.astype(jnp.float32)
+    )
     x_sq = D.squared_norms(x)
-    centroids = jnp.asarray(train[rng.choice(train.shape[0], k, replace=False)])
+    centroids = x[rng.choice(x.shape[0], k, replace=False)]
     for _ in range(iters):
         a = _assign(x, x_sq, centroids, k)
         centroids, counts = _update(x, a, k)
@@ -78,9 +87,8 @@ def kmeans(
             counts_np = np.asarray(counts)
             empty = np.where(counts_np < 1)[0]
             if len(empty):
-                cn = np.array(centroids)
-                cn[empty] = train[rng.choice(train.shape[0], len(empty))]
-                centroids = jnp.asarray(cn)
+                refill = x[rng.choice(x.shape[0], len(empty))]
+                centroids = centroids.at[jnp.asarray(empty)].set(refill)
     if not assign_full:
         return np.asarray(centroids), np.zeros(0, np.int32)
     # final assignment over the full dataset, blockwise

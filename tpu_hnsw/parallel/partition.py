@@ -102,10 +102,18 @@ class PartitionedHnswIndex:
         router: str = "hash",
         capacity: int | None = None,
         route_k: int = 0,  # 0 = search all partitions
+        engine: str = "graph",  # per-partition index: "graph" (HnswIndex)
+        # or "block" (BlockHnswIndex — the flagship serving engine; config
+        # D's 10M-on-one-chip shape wants blocked level 0 per shard)
+        block_size: int = 256,
     ):
+        if engine not in ("graph", "block"):
+            raise ValueError("engine must be graph|block")
         self.cfg = config
         self.p = n_partitions
         self.route_k = route_k
+        self.engine = engine
+        self.block_size = block_size
         self.router = (
             HashRouter(n_partitions) if router == "hash" else CentroidRouter(n_partitions)
         )
@@ -144,6 +152,19 @@ class PartitionedHnswIndex:
             rows = np.where(assign == p)[0]
             self._local_of[rows] = np.arange(len(rows), dtype=np.int32)
             part_rows.append(rows)
+        if self.engine == "block":
+            from tpu_hnsw.index.block import BlockHnswIndex
+
+            # blocked shards (host-loop serving; the mesh-stacked search
+            # path is graph-engine only)
+            for p, rows in enumerate(part_rows):
+                sub = BlockHnswIndex(self.cfg, block_size=self.block_size)
+                sub._global_ids = rows.astype(np.int32)
+                if len(rows):
+                    sub.build(data[rows])
+                self.parts.append(sub)
+            self.n = n
+            return self
         if mesh is not None:
             from tpu_hnsw.parallel.mesh_build import build_partitions_mesh
 
@@ -200,8 +221,46 @@ class PartitionedHnswIndex:
             flat_i, order, axis=1
         )
 
+    def search_device(self, queries, k: int = 10, ef_search: int = 40,
+                      probes: int | None = None):
+        """Device-side fan-out + merge for one-chip many-partition serving
+        (config D: 8 hash partitions on one chip). Every partition is
+        searched as back-to-back async dispatches and the k-way top-k
+        merge happens ON DEVICE, so a batch costs one query upload and one
+        result download regardless of P (the host-loop :meth:`search`
+        pays a fabric round-trip per partition).
+
+        Searches ALL partitions (exact for hash routing; for centroid
+        routing this is the exhaustive upper bound — use :meth:`search`
+        for routed subsets). Returns (distances, ids) device arrays;
+        distances are operator units, which are ascending-comparable
+        across partitions for every metric, so the merge is a plain
+        top-k."""
+        ds, gs = [], []
+        for sub in self.parts:
+            if sub.n == 0:
+                continue
+            kw = {"probes": probes} if self.engine == "block" else {}
+            d, i = sub.search_device(queries, k=k, ef_search=ef_search, **kw)
+            gid = jnp.asarray(sub._global_ids.astype(np.int32))
+            gi = jnp.where(
+                i >= 0, jnp.take(gid, jnp.clip(i, 0, None), mode="clip"), -1
+            )
+            ds.append(d)
+            gs.append(gi)
+        alld = jnp.concatenate(ds, axis=1)
+        alli = jnp.concatenate(gs, axis=1)
+        vals, sel = T.topk_smallest(alld, k)
+        ids = jnp.take_along_axis(alli, sel, axis=1)
+        return vals, jnp.where(jnp.isfinite(vals), ids, -1)
+
     # ------------------------------------------------------------------ mesh
     def sharded(self, mesh: Mesh | None = None) -> "ShardedHnswSearcher":
+        if self.engine != "graph":
+            raise ValueError(
+                "sharded() requires engine='graph' (mesh-stacked search "
+                "state); block-engine partitions serve via host-loop search"
+            )
         return ShardedHnswSearcher(self, mesh)
 
     # ----------------------------------------------------------- persistence
@@ -215,6 +274,8 @@ class PartitionedHnswIndex:
             "router": self.router.kind,
             "route_k": self.route_k,
             "n": self.n,
+            "engine": self.engine,
+            "block_size": self.block_size,
         }
         with open(os.path.join(path, "partitioned.json"), "w") as f:
             json.dump(meta, f)
@@ -233,8 +294,15 @@ class PartitionedHnswIndex:
     def load(cls, path: str) -> "PartitionedHnswIndex":
         with open(os.path.join(path, "partitioned.json")) as f:
             meta = json.load(f)
-        sub0 = HnswIndex.load(os.path.join(path, "part0"))
-        idx = cls(sub0.cfg, meta["p"], router=meta["router"], route_k=meta["route_k"])
+        engine = meta.get("engine", "graph")
+        if engine == "block":
+            from tpu_hnsw.index.block import BlockHnswIndex as Sub
+        else:
+            Sub = HnswIndex
+        sub0 = Sub.load(os.path.join(path, "part0"))
+        idx = cls(sub0.cfg, meta["p"], router=meta["router"],
+                  route_k=meta["route_k"], engine=engine,
+                  block_size=meta.get("block_size", 256))
         z = np.load(os.path.join(path, "router.npz"))
         if meta["router"] == "centroid":
             idx.router.centroids = z["centroids"]
@@ -242,7 +310,7 @@ class PartitionedHnswIndex:
         idx.n = meta["n"]
         idx.parts = []
         for p in range(meta["p"]):
-            sub = HnswIndex.load(os.path.join(path, f"part{p}"))
+            sub = Sub.load(os.path.join(path, f"part{p}"))
             sub._global_ids = np.load(os.path.join(path, f"part{p}", "global_ids.npy"))
             idx.parts.append(sub)
         return idx
