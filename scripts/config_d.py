@@ -39,6 +39,19 @@ def main():
 
     base, queries = synthetic_clustered(n, dim, n_queries=n_queries, seed=13)
 
+    # merge correctness: partitioned top-k must equal the unpartitioned
+    # exact top-k for exhaustive per-partition search (the config-D
+    # "global top-k merge correctness" requirement) — checked via recall
+    # against the exact oracle over the FULL table. Oracle FIRST, then
+    # freed: 10M x 96 f32 is 3.84GB, and oracle + 8 block shards
+    # (f32 + bf16 scoring copy) together oversubscribe one chip's HBM.
+    oracle = FlatIndex(base, Metric.IP)
+    gt = oracle.search(queries, k=10, exact=True)[1]
+    del oracle
+    import gc
+
+    gc.collect()
+
     cfg = HnswConfig(dim=dim, metric=Metric.IP, m=16, ef_construction=64,
                      seed=0)
     t0 = time.perf_counter()
@@ -46,13 +59,6 @@ def main():
                                 engine="block", block_size=256)
     pidx.build(base)
     build_s = time.perf_counter() - t0
-
-    # merge correctness: partitioned top-k must equal the unpartitioned
-    # exact top-k for exhaustive per-partition search (the config-D
-    # "global top-k merge correctness" requirement) — checked via recall
-    # against the exact oracle over the FULL table
-    oracle = FlatIndex(base, Metric.IP)
-    gt = oracle.search(queries, k=10, exact=True)[1]
 
     rows = []
     for ef in (32, 64, 128, 256):

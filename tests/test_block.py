@@ -69,7 +69,9 @@ def test_ip_metric():
     cfg = HnswConfig(dim=32, m=8, ef_construction=32, metric=Metric.IP)
     idx = BlockHnswIndex(cfg, block_size=64).build(base)
     gt = FlatIndex(base, Metric.IP).search(queries, k=10, exact=True)[1]
-    _, ids = idx.search(queries, k=10, probes=16)
+    # a third of the blocks probed: recall must be solidly high without
+    # being brittle to packing jitter from block_slack
+    _, ids = idx.search(queries, k=10, probes=24)
     assert recall_at_k(ids, gt, 10) >= 0.9
 
 
@@ -161,7 +163,8 @@ def test_probes_for_ef_mapping():
     base, _ = _data(n=4096)
     cfg = HnswConfig(dim=32, m=8, ef_construction=32)
     idx = BlockHnswIndex(cfg, block_size=64).build(base)
-    assert idx.probes_for_ef(40) == 10
+    # ef/4 scaled by block_slack so corpus coverage per ef is constant
+    assert idx.probes_for_ef(40) == 11  # ceil(40/4) + slack compensation
     assert idx.probes_for_ef(4) == 1
     assert idx.probes_for_ef(10**6) == idx.n_blocks
 

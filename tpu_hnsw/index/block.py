@@ -64,9 +64,8 @@ def _pow2(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _expand_blocks(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
-                   k: int, metric: Metric):
+def _expand_blocks_body(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
+                        k: int, metric: Metric):
     """Score every row of each query's selected blocks, return top-k.
 
     blocks [B, S, d] (storage dtype), blocks_sq [B, S] f32,
@@ -103,10 +102,14 @@ def _expand_blocks(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
     return vals, out_ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rerank", "metric"))
-def _expand_blocks_2stage(blocks_score, blocks_sq, block_ids, flat_exact,
-                          q, q_sq, bids, *, k: int, rerank: int,
-                          metric: Metric):
+_expand_blocks = jax.jit(
+    _expand_blocks_body, static_argnames=("k", "metric")
+)
+
+
+def _expand_blocks_2stage_body(blocks_score, blocks_sq, block_ids, flat_exact,
+                               q, q_sq, bids, *, k: int, rerank: int,
+                               metric: Metric):
     """Two-stage block expansion: bf16 scan + exact rerank.
 
     Stage 1 scores the selected blocks from a bf16 copy (HALF the HBM
@@ -158,9 +161,43 @@ def _expand_blocks_2stage(blocks_score, blocks_sq, block_ids, flat_exact,
     return vals, out_ids
 
 
-@functools.partial(jax.jit, static_argnames=("p", "metric"))
-def _route_exact(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
-                 metric: Metric):
+_expand_blocks_2stage = jax.jit(
+    _expand_blocks_2stage_body, static_argnames=("k", "rerank", "metric")
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "probes", "rerank", "metric", "two_stage")
+)
+def _serve_exact(blocks, blocks_score, blocks_sq, block_ids, centroids,
+                 c_sq, n_blocks, q, *, k: int, probes: int, rerank: int,
+                 metric: Metric, two_stage: bool):
+    """The whole exact-routing serving step as ONE compiled program:
+    query norms -> centroid routing -> block expansion (+rerank).
+
+    One dispatch per batch instead of four-to-six — on a serving fabric
+    with per-dispatch latency this is the difference between pipeline
+    bubbles and back-to-back device work.
+    """
+    q = q.astype(jnp.float32)
+    q_sq = D.squared_norms(q)
+    with jax.named_scope("route"):
+        bids = _route_exact_body(centroids, c_sq, q, q_sq, n_blocks,
+                                 p=probes, metric=metric)
+    with jax.named_scope("expand"):
+        if two_stage and blocks.dtype == jnp.float32:
+            return _expand_blocks_2stage_body(
+                blocks_score, blocks_sq, block_ids,
+                blocks.reshape(-1, blocks.shape[-1]), q, q_sq, bids,
+                k=k, rerank=rerank, metric=metric,
+            )
+        return _expand_blocks_body(
+            blocks, blocks_sq, block_ids, q, q_sq, bids, k=k, metric=metric
+        )
+
+
+def _route_exact_body(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
+                      metric: Metric):
     """Exact top-p blocks per query: one [Q, B] MXU matmul + top_k.
 
     Semantically the ef=B degenerate case of the centroid-graph beam
@@ -179,6 +216,11 @@ def _route_exact(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
     sc = jnp.where(cols < n_blocks, sc, INF)
     _, bids = T.topk_smallest_fast(sc, p)
     return bids
+
+
+_route_exact = jax.jit(
+    _route_exact_body, static_argnames=("p", "metric")
+)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -215,6 +257,19 @@ def _top_blocks_chunk(x, x_sq, cents, c_sq, *, t: int):
         preferred_element_type=jnp.float32,
     )
     sc = x_sq[:, None] + c_sq[None, :] - 2.0 * dots
+    return T.topk_smallest_fast(sc, t)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _top_blocks_chunk_masked(x, x_sq, cents, c_sq, full, *, t: int):
+    """_top_blocks_chunk over only blocks with free capacity (``full``
+    bool [B] masks exhausted blocks to +inf) — the retry pass."""
+    dots = jax.lax.dot_general(
+        x, cents.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sc = x_sq[:, None] + c_sq[None, :] - 2.0 * dots
+    sc = jnp.where(full[None, :], INF, sc)
     return T.topk_smallest_fast(sc, t)
 
 
@@ -275,12 +330,51 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
         # rank<free uses the pre-round value, which is exact because each
         # point appears once per round)
         pending = pending[order[~take]]
+    # retry pass: rows whose top-t blocks all filled re-rank against only
+    # the blocks that still have capacity (one masked matmul over pending
+    # rows — measured ~10% of 1M rows leftover without it, each a
+    # probe-independent recall miss); then the same greedy rounds.
+    retried = int(pending.size)
+    if pending.size:
+        full = jnp.asarray(free <= 0)
+        dd, ii = [], []
+        pj = jnp.asarray(pending)
+        for sidx in range(0, pending.size, step):
+            xb = jnp.take(xj, pj[sidx : sidx + step], axis=0)
+            d, i = _top_blocks_chunk_masked(
+                xb, jnp.sum(xb * xb, -1), cj, c_sq, full, t=min(t, B)
+            )
+            dd.append(np.asarray(d.astype(jnp.float16)))
+            ii.append(np.asarray(i))
+        cand_d2 = np.concatenate(dd)
+        cand_i2 = np.concatenate(ii)
+        sub_pending = np.arange(pending.size)
+        for r in range(cand_i2.shape[1]):
+            if sub_pending.size == 0:
+                break
+            blk = cand_i2[sub_pending, r].astype(np.int64)
+            dist = cand_d2[sub_pending, r]
+            order = np.lexsort((dist, blk))
+            blk_s = blk[order]
+            first = np.searchsorted(blk_s, blk_s)
+            rank = np.arange(len(blk_s)) - first
+            take = rank < free[blk_s]
+            chosen = pending[sub_pending[order[take]]]
+            assign[chosen] = blk_s[take]
+            np.subtract.at(free, blk_s[take], 1)
+            sub_pending = sub_pending[order[~take]]
+        pending = pending[sub_pending]
+    leftovers = int(pending.size)
     if pending.size:
         slots = np.repeat(np.arange(B), free)  # leftover capacity, in order
         assign[pending] = slots[: pending.size]
     _balanced_assign.last_stats = {
         "assign_topk_s": round(t1 - t0, 3),
         "assign_greedy_s": round(_time.perf_counter() - t1, 3),
+        "assign_retried_rows": retried,
+        # rows that exhausted even the retry pass and were placed
+        # distance-agnostically — each is a probe-independent recall miss
+        "assign_leftover_rows": leftovers,
     }
     return assign
 
@@ -313,6 +407,8 @@ class BlockHnswIndex:
         # rerank_width rows per query survive stage 1
         self.two_stage = True
         self.rerank_width = 40
+        self.block_slack = 1.05  # see _pack: packing slack kills the
+        # leftover-placement recall floor at exact capacity
         self.n = 0            # live rows (excl. deleted)
         self.n_total = 0      # rows ever placed (incl. deleted, excl. tail)
         self.n_blocks = 0
@@ -369,9 +465,13 @@ class BlockHnswIndex:
         ef_search bounds the classical level-0 candidate pool; with
         blocked level 0 the pool is ``probes`` whole blocks. probes =
         ceil(ef/4) makes the standard ef sweep (10..400) cover the
-        useful probe range (3..100) at the default S=256.
+        useful probe range (3..100) at the default S=256; the
+        ``block_slack`` factor keeps corpus coverage per ef constant
+        (slack adds blocks without adding rows).
         """
-        return max(1, min(math.ceil(ef_search / 4), self.n_blocks))
+        p = math.ceil(ef_search / 4)
+        p += int((self.block_slack - 1) * p + 0.5)  # slack compensation
+        return max(1, min(p, self.n_blocks))
 
     # ----------------------------------------------------------------- build
     def build(self, data, kmeans_iters: int = 10,
@@ -444,7 +544,12 @@ class BlockHnswIndex:
         if n is None:
             n = x.shape[0]
         S = self.block_size
-        B = max(1, math.ceil(n / S))
+        # ~5% block slack: at exact capacity (B = ceil(n/S)) the balanced
+        # packer has almost no free slots, so thousands of rows land in
+        # arbitrary leftover blocks — a probe-independent recall floor
+        # (measured: recall plateaued at ~0.975 on 1.18M regardless of
+        # probes). The slack costs 5% memory/fill and removes the floor.
+        B = max(1, math.ceil(n * self.block_slack / S))
         tk = _time.perf_counter()
         if B == 1:
             assign = np.zeros(n, np.int64)
@@ -621,21 +726,35 @@ class BlockHnswIndex:
                     [x, np.zeros((qpad - nq, x.shape[1]), x.dtype)]
                 )
             qj = jnp.asarray(x)
-        q_sq = D.squared_norms(qj)
-        bids = self._route(x, qj, q_sq, probes,
-                           ef_route=max(ef_search, probes))
-        if self.blocks.dtype == jnp.float32 and self.two_stage:
-            sc, ids = _expand_blocks_2stage(
-                self.blocks_score, self.blocks_sq, self.block_ids,
-                self.blocks.reshape(-1, self.cfg.dim), qj, q_sq, bids,
-                k=k, rerank=max(self.rerank_width, k), metric=self.cfg.metric,
+        if not self._use_graph_routing():
+            # fused single-dispatch serving program (norms+route+expand)
+            sc, ids = _serve_exact(
+                self.blocks, self.blocks_score, self.blocks_sq,
+                self.block_ids, self.centroids, self.centroids_sq,
+                jnp.int32(self.n_blocks), qj,
+                k=k, probes=probes, rerank=max(self.rerank_width, k),
+                metric=self.cfg.metric, two_stage=self.two_stage,
             )
+            q_sq = None
         else:
-            sc, ids = _expand_blocks(
-                self.blocks, self.blocks_sq, self.block_ids, qj, q_sq, bids,
-                k=k, metric=self.cfg.metric,
-            )
+            q_sq = D.squared_norms(qj)
+            bids = self._route(x, qj, q_sq, probes,
+                               ef_route=max(ef_search, probes))
+            if self.blocks.dtype == jnp.float32 and self.two_stage:
+                sc, ids = _expand_blocks_2stage(
+                    self.blocks_score, self.blocks_sq, self.block_ids,
+                    self.blocks.reshape(-1, self.cfg.dim), qj, q_sq, bids,
+                    k=k, rerank=max(self.rerank_width, k),
+                    metric=self.cfg.metric,
+                )
+            else:
+                sc, ids = _expand_blocks(
+                    self.blocks, self.blocks_sq, self.block_ids, qj, q_sq,
+                    bids, k=k, metric=self.cfg.metric,
+                )
         if self.tail_n:
+            if q_sq is None:
+                q_sq = D.squared_norms(qj)
             t_sc, t_ids = _scan_tail(
                 self.tail, self.tail_sq, self.tail_ids, qj, q_sq,
                 k=k, metric=self.cfg.metric,

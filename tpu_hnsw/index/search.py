@@ -447,13 +447,15 @@ def _search_jit(
     with_counters: bool = False,
 ):
     q = queries.astype(g.vectors.dtype)
-    seeds = _descend_body(g, q, entry, entry_level, 0, metric,
-                          descent_ef=descent_ef)
-    out = _search_layer_body(
-        g, q, seeds, 0, level0=True, ef=ef, expand=expand,
-        max_steps=max_steps, metric=metric, skip_deleted=True,
-        mask_deleted_results=True, with_counters=with_counters,
-    )
+    with jax.named_scope("descend"):
+        seeds = _descend_body(g, q, entry, entry_level, 0, metric,
+                              descent_ef=descent_ef)
+    with jax.named_scope("beam_level0"):
+        out = _search_layer_body(
+            g, q, seeds, 0, level0=True, ef=ef, expand=expand,
+            max_steps=max_steps, metric=metric, skip_deleted=True,
+            mask_deleted_results=True, with_counters=with_counters,
+        )
     if with_counters:
         pool_d, pool_i, hops, evals = out
         return pool_d[:, :k], pool_i[:, :k], hops, evals
