@@ -124,11 +124,15 @@ def _expand_blocks_2stage_body(blocks_score, blocks_sq, block_ids, flat_exact,
     """
     Q, p = bids.shape
     S = blocks_score.shape[1]
-    g = jnp.take(blocks_score, bids, axis=0)  # [Q, p, S, d] bf16
+    dp = blocks_score.shape[2]
+    qp = q
+    if dp != q.shape[1]:  # scoring copy is lane-padded (zeros: dots keep)
+        qp = jnp.pad(q, ((0, 0), (0, dp - q.shape[1])))
+    g = jnp.take(blocks_score, bids, axis=0)  # [Q, p, S, dp] bf16
     gsq = jnp.take(blocks_sq, bids, axis=0)
     ids = jnp.take(block_ids, bids, axis=0)
     dots = jnp.einsum(
-        "qpsd,qd->qps", g, q.astype(blocks_score.dtype),
+        "qpsd,qd->qps", g, qp.astype(blocks_score.dtype),
         preferred_element_type=jnp.float32,
     )
     if metric is Metric.L2:
@@ -185,7 +189,7 @@ def _serve_exact(blocks, blocks_score, blocks_sq, block_ids, centroids,
         bids = _route_exact_body(centroids, c_sq, q, q_sq, n_blocks,
                                  p=probes, metric=metric)
     with jax.named_scope("expand"):
-        if two_stage and blocks.dtype == jnp.float32:
+        if two_stage:
             return _expand_blocks_2stage_body(
                 blocks_score, blocks_sq, block_ids,
                 blocks.reshape(-1, blocks.shape[-1]), q, q_sq, bids,
@@ -273,6 +277,71 @@ def _top_blocks_chunk_masked(x, x_sq, cents, c_sq, full, *, t: int):
     return T.topk_smallest_fast(sc, t)
 
 
+
+
+def _make_score_copy(blocks: jax.Array) -> jax.Array:
+    """bf16, LANE-PADDED scoring copy of the blocks.
+
+    bf16 halves stage-1 scan traffic (the exact top-k is restored by the
+    rerank stage); padding d to a multiple of 128 lanes keeps the block
+    gather tile-aligned — measured: d=100 rows gather at a fraction of
+    the d=128 rate. Zero padding changes neither dots nor norms. When
+    storage is already bf16 lane-aligned the copy aliases the blocks.
+    """
+    B, S, d = blocks.shape
+    dp = ((d + 127) // 128) * 128
+    if blocks.dtype == jnp.bfloat16 and dp == d:
+        return blocks
+    out = blocks.astype(jnp.bfloat16)
+    if dp != d:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, dp - d)))
+    return out
+
+
+def _greedy_rounds(cand_i: np.ndarray, cand_d: np.ndarray, B: int,
+                   assign: np.ndarray, free: np.ndarray,
+                   row_ids: np.ndarray) -> np.ndarray:
+    """Capacity-greedy rounds over top-t candidates; mutates assign/free.
+
+    ``row_ids`` maps candidate rows to global rows. Returns the global
+    rows still unassigned after all t rounds. Uses the native C++ pass
+    (cpp/io_native.cpp balanced_assign_greedy — the numpy lexsort rounds
+    are the 10M-scale build's host bottleneck) with a pure-numpy
+    fallback.
+    """
+    from tpu_hnsw.io import native as NI
+
+    sub = np.full(len(row_ids), -1, np.int64)
+    got = NI.balanced_assign_greedy_native(
+        np.ascontiguousarray(cand_i, np.int32),
+        np.ascontiguousarray(cand_d, np.float32),
+        B, sub, free,
+    )
+    if got is not None:
+        done = sub >= 0
+        assign[row_ids[done]] = sub[done]
+        return row_ids[~done]
+    pending = np.arange(len(row_ids))
+    for r in range(cand_i.shape[1]):
+        if pending.size == 0:
+            break
+        blk = cand_i[pending, r].astype(np.int64)
+        dist = cand_d[pending, r]
+        order = np.lexsort((dist, blk))
+        blk_s = blk[order]
+        # rank of each point within its block group this round
+        first = np.searchsorted(blk_s, blk_s)
+        rank = np.arange(len(blk_s)) - first
+        take = rank < free[blk_s]
+        assign[row_ids[pending[order[take]]]] = blk_s[take]
+        np.subtract.at(free, blk_s[take], 1)
+        # (free can transiently over-count for blocks hit by few points;
+        # rank<free uses the pre-round value, which is exact because each
+        # point appears once per round)
+        pending = pending[order[~take]]
+    return row_ids[pending]
+
+
 def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
                      B: int, t: int = 8,
                      xj: jax.Array | None = None) -> np.ndarray:
@@ -311,25 +380,7 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     t1 = _time.perf_counter()
     assign = np.full(n, -1, np.int64)
     free = np.full(B, S, np.int64)
-    pending = np.arange(n)
-    for r in range(cand_i.shape[1]):
-        if pending.size == 0:
-            break
-        blk = cand_i[pending, r].astype(np.int64)
-        dist = cand_d[pending, r]
-        order = np.lexsort((dist, blk))
-        blk_s = blk[order]
-        # rank of each point within its block group this round
-        first = np.searchsorted(blk_s, blk_s)
-        rank = np.arange(len(blk_s)) - first
-        take = rank < free[blk_s]
-        chosen = pending[order[take]]
-        assign[chosen] = blk_s[take]
-        np.subtract.at(free, blk_s[take], 1)
-        # (free can transiently over-count for blocks hit by few points;
-        # rank<free uses the pre-round value, which is exact because each
-        # point appears once per round)
-        pending = pending[order[~take]]
+    pending = _greedy_rounds(cand_i, cand_d, B, assign, free, np.arange(n))
     # retry pass: rows whose top-t blocks all filled re-rank against only
     # the blocks that still have capacity (one masked matmul over pending
     # rows — measured ~10% of 1M rows leftover without it, each a
@@ -346,24 +397,9 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
             )
             dd.append(np.asarray(d.astype(jnp.float16)))
             ii.append(np.asarray(i))
-        cand_d2 = np.concatenate(dd)
-        cand_i2 = np.concatenate(ii)
-        sub_pending = np.arange(pending.size)
-        for r in range(cand_i2.shape[1]):
-            if sub_pending.size == 0:
-                break
-            blk = cand_i2[sub_pending, r].astype(np.int64)
-            dist = cand_d2[sub_pending, r]
-            order = np.lexsort((dist, blk))
-            blk_s = blk[order]
-            first = np.searchsorted(blk_s, blk_s)
-            rank = np.arange(len(blk_s)) - first
-            take = rank < free[blk_s]
-            chosen = pending[sub_pending[order[take]]]
-            assign[chosen] = blk_s[take]
-            np.subtract.at(free, blk_s[take], 1)
-            sub_pending = sub_pending[order[~take]]
-        pending = pending[sub_pending]
+        pending = _greedy_rounds(
+            np.concatenate(ii), np.concatenate(dd), B, assign, free, pending
+        )
     leftovers = int(pending.size)
     if pending.size:
         slots = np.repeat(np.arange(B), free)  # leftover capacity, in order
@@ -601,13 +637,7 @@ class BlockHnswIndex:
         cents = blocks.astype(jnp.float32).sum(axis=1) / counts[:, None]
         self.blocks = blocks
         self.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
-        # bf16 scoring copy for the two-stage scan (f32 storage only:
-        # halves stage-1 HBM traffic for +50% memory; bf16 storage is
-        # its own scoring copy)
-        self.blocks_score = (
-            blocks.astype(jnp.bfloat16) if blocks.dtype == jnp.float32
-            else blocks
-        )
+        self.blocks_score = _make_score_copy(blocks)
         self.block_ids = jnp.asarray(block_ids)
         self.centroids = cents.astype(self.dtype)
         self.centroids_sq = jnp.sum(cents * cents, axis=-1)
@@ -740,7 +770,7 @@ class BlockHnswIndex:
             q_sq = D.squared_norms(qj)
             bids = self._route(x, qj, q_sq, probes,
                                ef_route=max(ef_search, probes))
-            if self.blocks.dtype == jnp.float32 and self.two_stage:
+            if self.two_stage:
                 sc, ids = _expand_blocks_2stage(
                     self.blocks_score, self.blocks_sq, self.block_ids,
                     self.blocks.reshape(-1, self.cfg.dim), qj, q_sq, bids,
@@ -954,10 +984,7 @@ class BlockHnswIndex:
             blocks = jnp.asarray(raw).astype(idx.dtype)
         idx.blocks = blocks
         idx.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
-        idx.blocks_score = (
-            blocks.astype(jnp.bfloat16) if blocks.dtype == jnp.float32
-            else blocks
-        )
+        idx.blocks_score = _make_score_copy(blocks)
         idx.block_ids = jnp.asarray(z["block_ids"])
         idx._slot_of = z["slot_of"]
         cents = blocks.astype(jnp.float32).sum(axis=1) / jnp.maximum(

@@ -56,6 +56,7 @@ def load() -> ctypes.CDLL | None:
             lib.bvecs_read.restype = ctypes.c_long
             lib.blob_write.restype = ctypes.c_long
             lib.blob_read.restype = ctypes.c_long
+            lib.balanced_assign_greedy.restype = ctypes.c_long
             _LIB = lib
         except Exception:
             _LIB = None
@@ -140,3 +141,26 @@ def blob_read(path: str, shape, dtype) -> np.ndarray:
     if got != nbytes:
         return np.fromfile(path, dtype).reshape(shape)
     return out
+
+
+def balanced_assign_greedy_native(
+    cand_i: np.ndarray, cand_d: np.ndarray, n_blocks: int,
+    assign: np.ndarray, free: np.ndarray
+) -> int | None:
+    """Native greedy capacity-balanced assignment (see io_native.cpp).
+
+    cand_i [n, t] int32 C-contiguous, cand_d [n, t] float32, assign [n]
+    int64 pre-filled -1 (mutated), free [B] int64 capacities (mutated).
+    Returns rows assigned, or None when the native library is missing.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n, t = cand_i.shape
+    return int(lib.balanced_assign_greedy(
+        cand_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cand_d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_long(n), ctypes.c_int(t), ctypes.c_long(n_blocks),
+        assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        free.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    ))

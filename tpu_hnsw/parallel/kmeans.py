@@ -80,6 +80,11 @@ def kmeans(
     )
     x_sq = D.squared_norms(x)
     centroids = x[rng.choice(x.shape[0], k, replace=False)]
+    # Fixed-shape refill pool for empty clusters, materialized on host
+    # ONCE: refilling with a device gather of len(empty) rows compiles a
+    # fresh program per distinct empty-count (varying shapes), which on a
+    # remote-compile fabric turned 10 k-means iters into minutes.
+    refill_pool = None
     for _ in range(iters):
         a = _assign(x, x_sq, centroids, k)
         centroids, counts = _update(x, a, k)
@@ -87,8 +92,17 @@ def kmeans(
             counts_np = np.asarray(counts)
             empty = np.where(counts_np < 1)[0]
             if len(empty):
-                refill = x[rng.choice(x.shape[0], len(empty))]
-                centroids = centroids.at[jnp.asarray(empty)].set(refill)
+                if refill_pool is None:
+                    pool_n = min(x.shape[0], max(1024, k))
+                    refill_pool = np.asarray(
+                        x[jnp.asarray(rng.choice(x.shape[0], pool_n,
+                                                 replace=False))]
+                    )
+                cn = np.array(centroids)
+                cn[empty] = refill_pool[
+                    rng.choice(len(refill_pool), len(empty))
+                ]
+                centroids = jnp.asarray(cn)
     if not assign_full:
         return np.asarray(centroids), np.zeros(0, np.int32)
     # final assignment over the full dataset, blockwise

@@ -242,7 +242,13 @@ class PartitionedHnswIndex:
                 continue
             kw = {"probes": probes} if self.engine == "block" else {}
             d, i = sub.search_device(queries, k=k, ef_search=ef_search, **kw)
-            gid = jnp.asarray(sub._global_ids.astype(np.int32))
+            # device-resident id map, uploaded ONCE per shard (re-uploading
+            # 5MB/shard per batch over the serving fabric measured ~1.3s
+            # of the per-batch budget at config-D scale)
+            gid = getattr(sub, "_global_ids_dev", None)
+            if gid is None:
+                gid = jnp.asarray(sub._global_ids.astype(np.int32))
+                sub._global_ids_dev = gid
             gi = jnp.where(
                 i >= 0, jnp.take(gid, jnp.clip(i, 0, None), mode="clip"), -1
             )
