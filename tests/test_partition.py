@@ -141,3 +141,61 @@ def test_block_engine_partitions_device_merge(data):
         _, ids3 = re.search_device(queries, k=10, ef_search=64,
                                    probes=re.parts[0].n_blocks)
         np.testing.assert_array_equal(ids, np.asarray(ids3))
+
+
+def test_ring_merge_matches_all_gather(data):
+    """ppermute ring merge == all_gather merge, bit-identical (the
+    alternative ICI collective, SURVEY §5 comm backend)."""
+    base, queries, gt = data
+    cfg = HnswConfig(**CFG)
+    pidx = PartitionedHnswIndex(cfg, n_partitions=8, router="hash")
+    pidx.build(base)
+    sharded = pidx.sharded()
+    d_ag, i_ag = sharded.search(queries, k=10, ef_search=64)
+    d_rg, i_rg = sharded.search(queries, k=10, ef_search=64, merge="ring")
+    np.testing.assert_array_equal(i_ag, i_rg)
+    np.testing.assert_allclose(d_ag, d_rg, rtol=1e-6)
+    assert recall_at_k(i_rg, gt, 10) >= 0.9
+
+
+def test_hierarchical_merge_2d_mesh(data):
+    """Two-level (intra-slice ICI, cross-slice DCN) merge on a 2x4
+    virtual mesh equals the flat global top-k — the multi-slice config-E
+    program structure."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_hnsw.parallel.collectives import (
+        gather_merge_topk,
+        hierarchical_merge_topk,
+    )
+
+    base, queries, gt = data
+    k = 10
+    rng = np.random.default_rng(5)
+    # 8 shards of synthetic per-shard top-k candidate lists
+    d_parts = rng.random((8, len(queries), k)).astype(np.float32)
+    i_parts = rng.integers(0, 4000, size=(8, len(queries), k)).astype(np.int32)
+    mesh = jax.make_mesh((2, 4), ("slice", "chip"))
+
+    def body(d, i):
+        return hierarchical_merge_topk(d[0], i[0], k, "chip", "slice")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(("slice", "chip")), P(("slice", "chip"))),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    d_out, i_out = fn(jnp.asarray(d_parts), jnp.asarray(i_parts))
+    # flat oracle: global top-k over all shards
+    flat_d = d_parts.transpose(1, 0, 2).reshape(len(queries), -1)
+    flat_i = i_parts.transpose(1, 0, 2).reshape(len(queries), -1)
+    order = np.argsort(flat_d, axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(d_out), np.take_along_axis(flat_d, order, axis=1),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(i_out), np.take_along_axis(flat_i, order, axis=1)
+    )

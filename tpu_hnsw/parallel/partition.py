@@ -414,7 +414,8 @@ class ShardedHnswSearcher:
             self.centroids = None
         self._fn_cache = {}
 
-    def _make_fn(self, k: int, ef: int, expand: int, max_steps: int, route_k: int):
+    def _make_fn(self, k: int, ef: int, expand: int, max_steps: int,
+                 route_k: int, merge: str = "all_gather"):
         cfg = self.parent.cfg
         metric = cfg.metric
         p = self.parent.p
@@ -453,13 +454,14 @@ class ShardedHnswSearcher:
                 outs_i.append(glob)
             d = jnp.stack(outs_d, axis=1).reshape(queries.shape[0], local_p * k)
             i = jnp.stack(outs_i, axis=1).reshape(queries.shape[0], local_p * k)
-            # global top-k merge over ICI
-            d_all = jax.lax.all_gather(d, axis)  # [mesh_n, Q, local_p*k]
-            i_all = jax.lax.all_gather(i, axis)
-            d_all = jnp.moveaxis(d_all, 0, 1).reshape(queries.shape[0], -1)
-            i_all = jnp.moveaxis(i_all, 0, 1).reshape(queries.shape[0], -1)
-            vals, sel = T.topk_smallest(d_all, k)
-            return vals, jnp.take_along_axis(i_all, sel, axis=1)
+            # global top-k merge over ICI (all_gather or ppermute ring —
+            # identical results; see parallel/collectives.py for the
+            # bandwidth/latency trade)
+            from tpu_hnsw.parallel import collectives as C
+
+            if merge == "ring":
+                return C.ring_merge_topk(d, i, k, axis)
+            return C.gather_merge_topk(d, i, k, axis)
 
         spec_sh = P(self.AXIS)
         spec_rep = P()
@@ -473,7 +475,8 @@ class ShardedHnswSearcher:
         return jax.jit(fn)
 
     def search(self, queries, k: int = 10, ef_search: int = 40,
-               route_k: int | None = None, expand: int = 1):
+               route_k: int | None = None, expand: int = 1,
+               merge: str = "all_gather"):
         cfg = self.parent.cfg
         queries = np.asarray(queries, np.float32)
         if cfg.metric.needs_normalized:
@@ -482,10 +485,10 @@ class ShardedHnswSearcher:
         route_k = self.parent.route_k if route_k is None else route_k
         routes = self.parent.router.route(queries, route_k)
         ef = max(ef_search, k)
-        key = (k, ef, expand, routes.shape[1])
+        key = (k, ef, expand, routes.shape[1], merge)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_fn(k, ef, expand, 2 * ef + 16,
-                                                route_k)
+                                                route_k, merge)
         fn = self._fn_cache[key]
         d, i = fn(self.vectors, self.vectors_sq, self.nbr0, self.upn, self.ups,
                   self.levels, self.deleted, self.gids, self.entries,
