@@ -108,15 +108,18 @@ def main():
             break
         chosen_recall = r
     mstats = {}
+    # 1024-query chunks: per-dispatch fabric latency measured ~2ms, so
+    # bigger batches raise steady-state QPS until HBM work dominates
     hnsw_qps, ids = measure_qps(
-        idx, queries, 10, 4 * chosen, probes=chosen, stats_out=mstats
+        idx, queries, 10, 4 * chosen, probes=chosen, pipeline=4,
+        stats_out=mstats
     )
     hnsw_recall = recall_at_k(ids, gt, 10)
 
     # the seqscan path (pgvector's planner picks a sequential scan when it
     # beats the index; hnswcostestimate analogue) — reported, never headline
     flat_stats = {}
-    flat_qps, flat_ids = measure_qps(oracle, queries, 10, 0,
+    flat_qps, flat_ids = measure_qps(oracle, queries, 10, 0, pipeline=4,
                                      stats_out=flat_stats)
     flat_recall = recall_at_k(flat_ids, gt, 10)
 

@@ -48,7 +48,7 @@ def main():
         probes = idx.probes_for_ef(ef)
         st = {}
         qps, ids = measure_qps(idx, queries, 10, ef, probes=probes,
-                               stats_out=st)
+                               pipeline=2, stats_out=st)
         rows.append({
             "ef_search": ef,
             "probes": probes,

@@ -72,11 +72,11 @@ def main():
     for ef in (16, 32, 64, 128):
         probes = pidx.parts[0].probes_for_ef(ef)
         st = {}
-        # 64-query chunks: each shard dispatch's gather intermediate is
-        # [chunk, p, S, d] — big chunks x 8 shards x pipeline depth
-        # oversubscribe HBM and serialize the pipeline
+        # 1024-query chunks: per-dispatch fabric latency (~2ms) x 8+
+        # shard dispatches dominates small batches; two chunks in flight
+        # bound the [chunk, p, S, d] gather intermediates
         qps, ids = measure_qps(pidx, queries, 10, ef, probes=probes,
-                               pipeline=16, stats_out=st)
+                               pipeline=2, stats_out=st)
         rows.append({
             "ef_search": ef,
             "probes_per_partition": probes,

@@ -171,11 +171,13 @@ _expand_blocks_2stage = jax.jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "probes", "rerank", "metric", "two_stage")
+    jax.jit,
+    static_argnames=("k", "probes", "rerank", "metric", "two_stage",
+                     "to_distance"),
 )
 def _serve_exact(blocks, blocks_score, blocks_sq, block_ids, centroids,
                  c_sq, n_blocks, q, *, k: int, probes: int, rerank: int,
-                 metric: Metric, two_stage: bool):
+                 metric: Metric, two_stage: bool, to_distance: bool = False):
     """The whole exact-routing serving step as ONE compiled program:
     query norms -> centroid routing -> block expansion (+rerank).
 
@@ -190,14 +192,21 @@ def _serve_exact(blocks, blocks_score, blocks_sq, block_ids, centroids,
                                  p=probes, metric=metric)
     with jax.named_scope("expand"):
         if two_stage:
-            return _expand_blocks_2stage_body(
+            sc, ids = _expand_blocks_2stage_body(
                 blocks_score, blocks_sq, block_ids,
                 blocks.reshape(-1, blocks.shape[-1]), q, q_sq, bids,
                 k=k, rerank=rerank, metric=metric,
             )
-        return _expand_blocks_body(
-            blocks, blocks_sq, block_ids, q, q_sq, bids, k=k, metric=metric
-        )
+        else:
+            sc, ids = _expand_blocks_body(
+                blocks, blocks_sq, block_ids, q, q_sq, bids, k=k,
+                metric=metric,
+            )
+    if to_distance:
+        # operator units computed in-program: the eager conversion after
+        # the dispatch costs ~0.8ms of host/fabric time per batch
+        sc = D.score_to_distance(sc, metric)
+    return sc, ids
 
 
 def _route_exact_body(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
@@ -642,6 +651,10 @@ class BlockHnswIndex:
         self.centroids = cents.astype(self.dtype)
         self.centroids_sq = jnp.sum(cents * cents, axis=-1)
         self.n_blocks = B
+        # device-resident copy: an eager jnp.int32() measured 10.7ms PER
+        # CALL on the serving fabric (tiny-transfer latency) — one per
+        # search_device call was the config-D serving bottleneck
+        self._n_blocks_dev = jnp.int32(B)
         self.n = n
         self.n_total = n
         slot = np.full(int(block_ids.max()) + 1 if n else 0, -1, np.int64)
@@ -716,7 +729,7 @@ class BlockHnswIndex:
             return jnp.where(bids == sent, 0, bids).astype(jnp.int32)
         return _route_exact(
             self.centroids, self.centroids_sq, qj, q_sq,
-            jnp.int32(self.n_blocks), p=probes, metric=self.cfg.metric,
+            self._n_blocks_dev, p=probes, metric=self.cfg.metric,
         )
 
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
@@ -758,13 +771,17 @@ class BlockHnswIndex:
             qj = jnp.asarray(x)
         if not self._use_graph_routing():
             # fused single-dispatch serving program (norms+route+expand)
+            no_tail = not self.tail_n
             sc, ids = _serve_exact(
                 self.blocks, self.blocks_score, self.blocks_sq,
                 self.block_ids, self.centroids, self.centroids_sq,
-                jnp.int32(self.n_blocks), qj,
+                self._n_blocks_dev, qj,
                 k=k, probes=probes, rerank=max(self.rerank_width, k),
                 metric=self.cfg.metric, two_stage=self.two_stage,
+                to_distance=no_tail,
             )
+            if no_tail:  # distances computed in-program: zero extra ops
+                return sc[:nq], ids[:nq]
             q_sq = None
         else:
             q_sq = D.squared_norms(qj)
@@ -995,6 +1012,7 @@ class BlockHnswIndex:
         idx.n = meta["n"]
         idx.n_total = meta["n_total"]
         idx.n_blocks = meta["n_blocks"]
+        idx._n_blocks_dev = jnp.int32(idx.n_blocks)
         cg = os.path.join(path, "centroid_graph")
         idx.centroid_index = HnswIndex.load(cg) if os.path.exists(cg) else None
         idx._reset_tail()
