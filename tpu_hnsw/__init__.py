@@ -10,6 +10,11 @@ from tpu_hnsw.config import HnswConfig, Metric
 from tpu_hnsw.index.block import BlockHnswIndex
 from tpu_hnsw.index.flat import FlatIndex
 from tpu_hnsw.index.hnsw import HnswIndex
+from tpu_hnsw.index.ivf import IvfFlatIndex
+from tpu_hnsw.parallel.partition import PartitionedHnswIndex
 
-__all__ = ["HnswConfig", "Metric", "FlatIndex", "HnswIndex", "BlockHnswIndex"]
-__version__ = "0.1.0"
+__all__ = [
+    "HnswConfig", "Metric", "FlatIndex", "HnswIndex", "BlockHnswIndex",
+    "IvfFlatIndex", "PartitionedHnswIndex",
+]
+__version__ = "0.2.0"
