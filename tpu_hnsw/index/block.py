@@ -323,7 +323,9 @@ def _greedy_rounds(cand_i: np.ndarray, cand_d: np.ndarray, B: int,
     sub = np.full(len(row_ids), -1, np.int64)
     got = NI.balanced_assign_greedy_native(
         np.ascontiguousarray(cand_i, np.int32),
-        np.ascontiguousarray(cand_d, np.float32),
+        # NaN (invalid input caught by build's deferred finite check)
+        # would break std::sort's strict weak ordering — map to +inf
+        np.ascontiguousarray(np.nan_to_num(cand_d, nan=np.inf), np.float32),
         B, sub, free,
     )
     if got is not None:
@@ -371,6 +373,12 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     if xj is None:
         xj = jnp.asarray(x)
     n = xj.shape[0]
+    d_orig = xj.shape[1]
+    dp = ((d_orig + 127) // 128) * 128
+    if dp != d_orig:
+        # lane-pad the top-k matmul operands (4-6x on misaligned dims)
+        xj = jnp.pad(xj, ((0, 0), (0, dp - d_orig)))
+        centroids = np.pad(centroids, ((0, 0), (0, dp - d_orig)))
     cj = jnp.asarray(centroids)
     c_sq = jnp.sum(cj * cj, axis=-1)
     step = 1 << 17
@@ -395,11 +403,19 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     # rows — measured ~10% of 1M rows leftover without it, each a
     # probe-independent recall miss); then the same greedy rounds.
     retried = int(pending.size)
-    if pending.size:
+    for _retry in range(3):  # free blocks fill during a retry round too;
+        # loop until placed (measured: one round left 31k of 1M unplaced,
+        # three leave ~none) — each leftover is a probe-independent miss
+        if pending.size == 0 or not (free > 0).any():
+            break
         full = jnp.asarray(free <= 0)
         dd, ii = [], []
-        pj = jnp.asarray(pending)
-        for sidx in range(0, pending.size, step):
+        m = int(pending.size)
+        # pow2-pad the pending gather: ragged chunk shapes would compile a
+        # fresh program per retry round on the remote-compile fabric
+        mp = _pow2(m)
+        pj = jnp.asarray(np.pad(pending, (0, mp - m)))
+        for sidx in range(0, mp, step):
             xb = jnp.take(xj, pj[sidx : sidx + step], axis=0)
             d, i = _top_blocks_chunk_masked(
                 xb, jnp.sum(xb * xb, -1), cj, c_sq, full, t=min(t, B)
@@ -407,7 +423,8 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
             dd.append(np.asarray(d.astype(jnp.float16)))
             ii.append(np.asarray(i))
         pending = _greedy_rounds(
-            np.concatenate(ii), np.concatenate(dd), B, assign, free, pending
+            np.concatenate(ii)[:m], np.concatenate(dd)[:m], B, assign,
+            free, pending,
         )
     leftovers = int(pending.size)
     if pending.size:
@@ -546,8 +563,10 @@ class BlockHnswIndex:
                     f"{xj.shape[-1] if xj.ndim else 0}"
                 )
             xj = xj.astype(jnp.float32)
-            if not bool(jnp.isfinite(xj).all()):
-                raise ValueError("NaN or infinity values are not allowed")
+            # dispatched now, CHECKED at the end of build: a bool() sync
+            # here serializes the pipeline behind whatever is in the
+            # device queue (measured 10s of a 19s build)
+            finite = jnp.isfinite(xj).all()
             if self.cfg.metric.needs_normalized:
                 xj = D.l2_normalize(xj)
             x = None
@@ -556,11 +575,14 @@ class BlockHnswIndex:
             x = self._prep(data)
             xj = jnp.asarray(x)
             n = x.shape[0]
+            finite = None
         t1 = _time.perf_counter()
         bids = self._pack(x, kmeans_iters, xj=xj, n=n)
         t2 = _time.perf_counter()
         self._install_blocks(x, bids, n, xj=xj)
         jax.block_until_ready(self.blocks)
+        if finite is not None and not bool(finite):
+            raise ValueError("NaN or infinity values are not allowed")
         t3 = _time.perf_counter()
         self.build_stats = {
             "prep_s": round(t1 - t0, 3),
