@@ -59,6 +59,44 @@ def _pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
+@functools.partial(jax.jit, static_argnames=("dt",))
+def _gather_mask_blocks(xj, safe, valid, *, dt):
+    # fused gather+mask+cast: as separate eager ops the take output, the
+    # masked product, and the cast each materialize corpus-sized buffers
+    # (3x peak — OOM at config-E shard scale)
+    g = jnp.take(xj, safe, axis=0).astype(dt)
+    return g * valid.astype(dt)
+
+
+@jax.jit
+def _blocks_sq_of(blocks):
+    # single fused reduce: no full f32 materialization
+    return jnp.sum(jnp.square(blocks.astype(jnp.float32)), axis=-1)
+
+
+@jax.jit
+def _blocks_rowsum_of(blocks):
+    return blocks.astype(jnp.float32).sum(axis=1)
+
+
+@jax.jit
+def _normalize_keep_dtype(x):
+    # fused: eager astype(f32) -> normalize materializes TWO full f32
+    # copies of the corpus (OOM at config-E shard scale); inside one jit
+    # the chain fuses per-tile and only the same-dtype output allocates
+    xf = x.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    return (xf / jnp.maximum(n, 1e-12)).astype(x.dtype)
+
+
+@jax.jit
+def _all_finite(x):
+    # fused reduce: the eager isfinite->all chain materializes a full
+    # mask (and an astype copy) — at config-E shard scale that alone
+    # exhausted HBM
+    return jnp.isfinite(x.astype(jnp.float32)).all()
+
+
 # ---------------------------------------------------------------------------
 # jitted kernels (static shapes; one compile per (Q, p, k) bucket)
 # ---------------------------------------------------------------------------
@@ -384,7 +422,9 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     step = 1 << 17
     dd, ii = [], []
     for s in range(0, n, step):
-        xb = xj[s : s + step]
+        # per-chunk f32 view: bf16 storage stays bf16 at rest; the
+        # distance matmul needs matching dtypes and f32-grade norms
+        xb = xj[s : s + step].astype(jnp.float32)
         d, i = _top_blocks_chunk(
             xb, jnp.sum(xb * xb, -1), cj, c_sq, t=min(t, B)
         )
@@ -416,7 +456,9 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
         mp = _pow2(m)
         pj = jnp.asarray(np.pad(pending, (0, mp - m)))
         for sidx in range(0, mp, step):
-            xb = jnp.take(xj, pj[sidx : sidx + step], axis=0)
+            xb = jnp.take(xj, pj[sidx : sidx + step], axis=0).astype(
+                jnp.float32
+            )
             d, i = _top_blocks_chunk_masked(
                 xb, jnp.sum(xb * xb, -1), cj, c_sq, full, t=min(t, B)
             )
@@ -451,6 +493,9 @@ class BlockHnswIndex:
     """
 
     EXACT_ROUTING_MAX = 65536
+    # above this block count, probes >= n_blocks streams the whole
+    # store once instead of per-query gather expansion
+    EXHAUSTIVE_SCAN_MIN_BLOCKS = 2048
 
     def __init__(
         self,
@@ -562,13 +607,18 @@ class BlockHnswIndex:
                     f"expected {self.cfg.dim} dimensions, not "
                     f"{xj.shape[-1] if xj.ndim else 0}"
                 )
-            xj = xj.astype(jnp.float32)
+            # bf16-storage builds stay in bf16 end-to-end: a whole-array
+            # f32 cast of a config-E shard (12.5M x 512d) is 25.6GB —
+            # past one chip's HBM. Per-chunk compute still runs f32.
+            xj = xj.astype(
+                self.dtype if self.dtype == jnp.bfloat16 else jnp.float32
+            )
             # dispatched now, CHECKED at the end of build: a bool() sync
             # here serializes the pipeline behind whatever is in the
             # device queue (measured 10s of a 19s build)
-            finite = jnp.isfinite(xj).all()
+            finite = _all_finite(xj)
             if self.cfg.metric.needs_normalized:
-                xj = D.l2_normalize(xj)
+                xj = _normalize_keep_dtype(xj)
             x = None
             n = int(xj.shape[0])
         else:
@@ -656,18 +706,20 @@ class BlockHnswIndex:
         if xj is None:
             xj = jnp.asarray(x)
         safe = np.where(block_ids < 0, 0, block_ids)
-        gathered = jnp.take(xj, jnp.asarray(safe.reshape(-1)), axis=0)
-        valid = jnp.asarray((block_ids >= 0).reshape(-1, 1).astype(np.float32))
-        gathered = gathered * valid  # zero dead rows
+        valid = jnp.asarray((block_ids >= 0).reshape(-1, 1))
         # storage-dtype blocks FIRST, centroids from those: load() recomputes
         # centroids from the persisted blocks, so deriving them from the
         # same (possibly bf16-rounded) values keeps save/load bit-identical
-        blocks = gathered.reshape(B, S, -1).astype(self.dtype)
+        blocks = _gather_mask_blocks(
+            xj, jnp.asarray(safe.reshape(-1)), valid, dt=self.dtype
+        ).reshape(B, S, -1)
         # ---- recomputed per-block centroids (mean of live rows)
-        counts = jnp.maximum(valid.reshape(B, S).sum(axis=1), 1.0)
-        cents = blocks.astype(jnp.float32).sum(axis=1) / counts[:, None]
+        counts = jnp.maximum(
+            valid.reshape(B, S).astype(jnp.float32).sum(axis=1), 1.0
+        )
+        cents = _blocks_rowsum_of(blocks) / counts[:, None]
         self.blocks = blocks
-        self.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+        self.blocks_sq = _blocks_sq_of(blocks)
         self.blocks_score = _make_score_copy(blocks)
         self.block_ids = jnp.asarray(block_ids)
         self.centroids = cents.astype(self.dtype)
@@ -791,7 +843,16 @@ class BlockHnswIndex:
                     [x, np.zeros((qpad - nq, x.shape[1]), x.dtype)]
                 )
             qj = jnp.asarray(x)
-        if not self._use_graph_routing():
+        if (probes >= self.n_blocks
+                and self.n_blocks > self.EXHAUSTIVE_SCAN_MIN_BLOCKS):
+            # exhaustive probes on a big store: STREAM the whole blocked
+            # table once for ALL queries (FlatIndex's scan over the
+            # [B, S, dp] layout) — the per-query gather expansion would
+            # read Q x corpus bytes (compiled a TB-sized intermediate at
+            # config-E shard scale)
+            sc, ids = self._scan_all(qj, k)
+            q_sq = None
+        elif not self._use_graph_routing():
             # fused single-dispatch serving program (norms+route+expand)
             no_tail = not self.tail_n
             sc, ids = _serve_exact(
@@ -833,6 +894,33 @@ class BlockHnswIndex:
                 jnp.concatenate([ids, t_ids], axis=1), sel, axis=1
             )
         return D.score_to_distance(sc[:nq], self.cfg.metric), ids[:nq]
+
+    def _scan_all(self, qj, k: int):
+        """Exhaustive exact scan over the blocked store (streamed): bf16
+        scoring-copy scan + exact rerank, global ids mapped through
+        block_ids. Raw scores out; caller converts/merges."""
+        from tpu_hnsw.index import flat as FL
+
+        dp = self.blocks_score.shape[2]
+        qp = qj if dp == qj.shape[1] else jnp.pad(
+            qj, ((0, 0), (0, dp - qj.shape[1]))
+        )
+        cand = max(4 * k, self.rerank_width)
+        _, pos = FL._stream_search(
+            qp, self.blocks_score, self.blocks_sq, self.block_ids >= 0,
+            cand, self.cfg.metric, jax.lax.Precision.DEFAULT, True,
+        )
+        flat_ids = self.block_ids.reshape(-1)
+        bad = pos < 0
+        v = jnp.take(self.blocks.reshape(-1, self.cfg.dim),
+                     jnp.clip(pos, 0, None), axis=0, mode="clip")
+        sc2 = D.batched_scores(qj, v.astype(jnp.float32), self.cfg.metric)
+        sc2 = jnp.where(bad, INF, sc2)
+        vals, sel = T.topk_smallest(sc2, k)
+        cand_ids = jnp.take(flat_ids, jnp.clip(pos, 0, None), mode="clip")
+        cand_ids = jnp.where(bad, -1, cand_ids)
+        ids = jnp.take_along_axis(cand_ids, sel, axis=1)
+        return vals, jnp.where(jnp.isfinite(vals), ids, -1)
 
     def search(self, queries, k: int = 10, ef_search: int = 40,
                probes: int | None = None, return_distances: bool = True):
@@ -1022,11 +1110,11 @@ class BlockHnswIndex:
         else:
             blocks = jnp.asarray(raw).astype(idx.dtype)
         idx.blocks = blocks
-        idx.blocks_sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+        idx.blocks_sq = _blocks_sq_of(blocks)
         idx.blocks_score = _make_score_copy(blocks)
         idx.block_ids = jnp.asarray(z["block_ids"])
         idx._slot_of = z["slot_of"]
-        cents = blocks.astype(jnp.float32).sum(axis=1) / jnp.maximum(
+        cents = _blocks_rowsum_of(blocks) / jnp.maximum(
             (idx.block_ids >= 0).sum(axis=1).astype(jnp.float32), 1.0
         )[:, None]
         idx.centroids = cents.astype(idx.dtype)
