@@ -9,19 +9,23 @@ ef_construction=64), baseline target 50,000 QPS/chip. Build throughput
 The measured engine is the HNSW index itself — the flagship
 BlockHnswIndex (HNSW routing graph over cluster-blocked level 0; see
 tpu_hnsw/index/block.py for why classical per-row level 0 cannot reach
-HBM speed on TPU). The flat exact scan (the seqscan analogue) is
-reported separately in "extra" and never carries the headline.
+HBM speed on TPU). The classical graph-traversal engine (HnswIndex,
+batched beam search) and the flat exact scan (the seqscan analogue) are
+reported in "extra" every round and never carry the headline.
 
 Real SIFT files are used when present under $TPU_HNSW_DATA; otherwise a
-synthetic clustered stand-in of the same shape is generated (this
-environment has no network access). Size via $TPU_HNSW_BENCH_N
-(default 1,000,000 = config B shape, BASELINE.md).
+synthetic stand-in of the same shape is generated (this environment has
+no network access): $TPU_HNSW_BENCH_DATASET=clustered (default; Gaussian
+mixture, the SIFT-like case) or =uniform (the hard-mode control with no
+cluster structure — see benchmarks/uniform_control.json). Size via
+$TPU_HNSW_BENCH_N (default 1,000,000 = config B shape, BASELINE.md).
 
 Measurement protocol (round-1 showed ~2x run-to-run variance with 3
-one-pass repeats): fixed-duration timing windows, 8-deep async dispatch
-pipeline, >=10 windows, median reported, coefficient of variation
-emitted in "extra" so two consecutive runs can be checked against the
-<=10% reproducibility bar.
+one-pass repeats): fixed-duration timing windows, async dispatch
+pipeline, >=10 windows, median reported, coefficient of variation in
+"extra" (<=10% reproducibility bar). Builds get the same treatment
+(round-2 showed a 78k-vs-113k swing between single timed runs): two
+measured builds post-warmup, median reported with min/max spread.
 """
 
 import json
@@ -41,9 +45,13 @@ def main():
     block_size = int(os.environ.get("TPU_HNSW_BLOCK_SIZE", 256))
     target_recall = float(os.environ.get("TPU_HNSW_TARGET_RECALL", 0.95))
     dtype = os.environ.get("TPU_HNSW_BENCH_DTYPE", "float32")
+    synth = os.environ.get("TPU_HNSW_BENCH_DATASET", "clustered")
+    with_graph = os.environ.get("TPU_HNSW_BENCH_GRAPH", "1") != "0"
 
-    from tpu_hnsw import BlockHnswIndex, FlatIndex, HnswConfig, Metric
-    from tpu_hnsw.io.datasets import load_or_synthesize, synthetic_clustered
+    from tpu_hnsw import (BlockHnswIndex, FlatIndex, HnswConfig, HnswIndex,
+                          Metric)
+    from tpu_hnsw.io.datasets import (load_or_synthesize, synthetic_clustered,
+                                      synthetic_uniform)
     from tpu_hnsw.utils.evalharness import measure_qps
     from tpu_hnsw.utils.recall import recall_at_k
 
@@ -52,57 +60,71 @@ def main():
         base, queries, _ = load_or_synthesize("sift1m", data_dir)
         base, queries = base[:n], queries[:n_queries]
         dataset = "sift1m"
+    elif synth == "uniform":
+        base, queries = synthetic_uniform(n, dim, n_queries=n_queries, seed=42)
+        dataset = "synthetic-uniform"
     else:
-        base, queries = synthetic_clustered(n, dim, n_queries=n_queries, seed=42)
+        base, queries = synthetic_clustered(n, dim, n_queries=n_queries,
+                                            seed=42)
         dataset = "synthetic-clustered"
 
     import jax
+    import jax.numpy as jnp
 
     cfg = HnswConfig(dim=dim, m=16, ef_construction=64, seed=0, dtype=dtype)
 
-    # build twice at the SAME n: the first run pays XLA compilation
-    # (minutes on remote-compile fabrics; program shapes depend on n, so a
-    # smaller warmup would not warm them), the second run is the
-    # steady-state measurement
+    # build once at the SAME n to pay XLA compilation (minutes on
+    # remote-compile fabrics; program shapes depend on n, so a smaller
+    # warmup would not warm them), then measure TWO builds per input mode
+    # and report the median (single timed builds swung 78k-vs-113k r2)
     t0 = time.perf_counter()
     widx = BlockHnswIndex(cfg, block_size=block_size).build(base)
     jax.block_until_ready(widx.blocks)
     t_warm = time.perf_counter() - t0
+    block_bytes_per_elem = widx.stats()["bytes_per_element"]
     del widx
 
-    t0 = time.perf_counter()
-    idx = BlockHnswIndex(cfg, block_size=block_size).build(base)
-    jax.block_until_ready(idx.blocks)
-    t_build = time.perf_counter() - t0
-    build_vps = n / t_build
-    host_stages = dict(getattr(idx, "build_stats", {}))
+    def timed_build(inp):
+        t0 = time.perf_counter()
+        bx = BlockHnswIndex(cfg, block_size=block_size).build(inp)
+        jax.block_until_ready(bx.blocks)
+        return time.perf_counter() - t0, dict(bx.build_stats), bx
 
-    # device-resident build: ingest is accelerator-resident embeddings
-    # (the production shape — embedding models run on the same TPUs);
-    # the host-input number above additionally pays this fabric's ~30MB/s
-    # host->device link, which on a real v5e host is PCIe at GB/s
-    import jax.numpy as jnp
+    # host-input builds (pays this fabric's ~30MB/s relay upload)
+    t_a, host_stages, idx = timed_build(base)
+    t_b, host_stages_b, idx2 = timed_build(base)
+    if t_b < t_a:
+        host_stages, idx = host_stages_b, idx2
+    build_host_times = sorted([t_a, t_b])
+    build_vps = n / float(np.median([t_a, t_b]))
+    host_stages["build_runs_s"] = [round(t, 2) for t in build_host_times]
+    del idx2
 
+    # device-resident builds: ingest is accelerator-resident embeddings
+    # (the production shape — embedding models run on the same TPUs)
     xdev = jax.block_until_ready(jnp.asarray(base))
-    t0 = time.perf_counter()
-    idx_dev = BlockHnswIndex(cfg, block_size=block_size).build(xdev)
-    jax.block_until_ready(idx_dev.blocks)
-    t_build_dev = time.perf_counter() - t0
-    build_vps_dev = n / t_build_dev
-    dev_stages = dict(getattr(idx_dev, "build_stats", {}))
-    del idx_dev, xdev
+    t_a, dev_stages, bx = timed_build(xdev)
+    del bx
+    t_b, dev_stages_b, bx = timed_build(xdev)
+    if t_b < t_a:
+        dev_stages = dev_stages_b
+    del bx
+    build_dev_times = sorted([t_a, t_b])
+    build_vps_dev = n / float(np.median([t_a, t_b]))
+    dev_stages["build_runs_s"] = [round(t, 2) for t in build_dev_times]
+    del xdev
 
     oracle = FlatIndex(base, Metric.L2)
     gt = oracle.search(queries, k=10, exact=True)[1]
 
-    # operating-point search: smallest pow2 probes meeting the recall
-    # target (pow2 keeps the compile count bounded on remote-compile
-    # fabrics), then a full stable measurement at that point
+    # operating-point search on the FULL measured query set (selecting on
+    # a subset let recall drift between selection and measurement, r2
+    # weak #7); pow2 probes keep the compile count bounded
     probe_grid = [p for p in (4, 8, 16, 32, 64, 128) if p <= idx.n_blocks]
     chosen, chosen_recall = probe_grid[-1], 0.0
     for p in probe_grid:
-        _, ids = idx.search(queries[:1024], k=10, probes=p)
-        r = recall_at_k(ids, gt[:1024], 10)
+        _, ids = idx.search(queries, k=10, probes=p)
+        r = recall_at_k(ids, gt, 10)
         if r >= target_recall:
             chosen, chosen_recall = p, r
             break
@@ -115,6 +137,36 @@ def main():
         stats_out=mstats
     )
     hnsw_recall = recall_at_k(ids, gt, 10)
+
+    # the classical graph-traversal engine (the pgvector-faithful beam
+    # search; /root/repo/BASELINE.json:5 names it the core) — measured
+    # every round so it cannot regress silently (VERDICT r2 #3)
+    graph_extra = {}
+    if with_graph:
+        t0 = time.perf_counter()
+        gidx = HnswIndex(cfg).build(base)
+        g_build_s = time.perf_counter() - t0
+        g_ef, g_recall = 0, 0.0
+        for ef in (40, 64, 96, 128, 200):
+            _, g_ids = gidx.search(queries, k=10, ef_search=ef)
+            g_recall = recall_at_k(g_ids, gt, 10)
+            g_ef = ef
+            if g_recall >= target_recall:
+                break
+        g_stats = {}
+        g_qps, g_ids = measure_qps(gidx, queries, 10, g_ef, pipeline=4,
+                                   stats_out=g_stats)
+        graph_extra = {
+            "hnsw_graph_qps": round(float(g_qps), 1),
+            "hnsw_graph_recall": round(
+                float(recall_at_k(g_ids, gt, 10)), 4),
+            "hnsw_graph_ef": g_ef,
+            "hnsw_graph_build_s": round(g_build_s, 1),
+            "hnsw_graph_bytes_per_element": gidx.stats()[
+                "bytes_per_element"],
+            "hnsw_graph_measurement": g_stats,
+        }
+        del gidx
 
     # the seqscan path (pgvector's planner picks a sequential scan when it
     # beats the index; hnswcostestimate analogue) — reported, never headline
@@ -139,6 +191,8 @@ def main():
             "block_size": block_size,
             "recall_target_met": bool(hnsw_recall >= target_recall),
             "measurement": mstats,
+            "block_bytes_per_element": block_bytes_per_elem,
+            **graph_extra,
             "flat_qps": round(float(flat_qps), 1),
             "flat_recall": round(float(flat_recall), 4),
             "flat_measurement": flat_stats,
@@ -146,12 +200,12 @@ def main():
             "build_vs_baseline": round(build_vps_dev / 100_000.0, 4),
             "build_input": "device-resident (accelerator-produced "
             "embeddings; host-input figure below pays this fabric's "
-            "~30MB/s relay, PCIe-GB/s on a real v5e host)",
+            "~30MB/s relay, PCIe-GB/s on a real v5e host); median of 2 "
+            "post-warmup builds, spread in build_stages.build_runs_s",
             "build_stages": dev_stages,
             "build_vectors_per_sec_host_input": round(build_vps, 1),
             "build_stages_host_input": host_stages,
             "warmup_s": round(t_warm, 1),
-            "build_s": round(t_build, 1),
             "dataset": dataset,
         },
     }

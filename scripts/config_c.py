@@ -35,6 +35,16 @@ def main():
     cfg = HnswConfig(dim=dim, metric=Metric.COSINE, m=24,
                      ef_construction=128, seed=0)
 
+    # warm build first: program shapes depend on n, and a cold build at
+    # this shape pays minutes of remote XLA compile (r2 shipped a 542s
+    # "build" that was ~95% kmeans compile); the steady-state build is
+    # what the artifact reports, the warmup separately
+    t0 = time.perf_counter()
+    widx = BlockHnswIndex(cfg, block_size=256).build(base)
+    jax.block_until_ready(widx.blocks)
+    warmup_s = time.perf_counter() - t0
+    del widx
+
     t0 = time.perf_counter()
     idx = BlockHnswIndex(cfg, block_size=256).build(base)
     jax.block_until_ready(idx.blocks)
@@ -49,6 +59,11 @@ def main():
         st = {}
         qps, ids = measure_qps(idx, queries, 10, ef, probes=probes,
                                pipeline=2, stats_out=st)
+        if (st.get("qps_cv") or 0) > 0.10:
+            st = {}
+            qps, ids = measure_qps(idx, queries, 10, ef, probes=probes,
+                                   pipeline=2, stats_out=st, repeats=16,
+                                   min_window_s=1.0)
         rows.append({
             "ef_search": ef,
             "probes": probes,
@@ -65,6 +80,7 @@ def main():
         "m": cfg.m, "ef_construction": cfg.ef_construction,
         "engine": "hnsw-block", "block_size": 256,
         "n_blocks": idx.n_blocks,
+        "warmup_build_s": round(warmup_s, 1),
         "build_s": round(build_s, 1),
         "build_vectors_per_sec": round(n / build_s, 1),
         "build_stages": getattr(idx, "build_stats", {}),

@@ -77,6 +77,13 @@ def main():
         # bound the [chunk, p, S, d] gather intermediates
         qps, ids = measure_qps(pidx, queries, 10, ef, probes=probes,
                                pipeline=2, stats_out=st)
+        if (st.get("qps_cv") or 0) > 0.10:
+            # r2 shipped an ef=16 point at CV 0.19 — re-measure with
+            # double-length windows until the <=10% bar holds
+            st = {}
+            qps, ids = measure_qps(pidx, queries, 10, ef, probes=probes,
+                                   pipeline=2, stats_out=st, repeats=16,
+                                   min_window_s=1.0)
         rows.append({
             "ef_search": ef,
             "probes_per_partition": probes,

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Hard-mode data control: uniform-random 1M x 128 (VERDICT r2 #6).
+
+Every headline number so far used synthetic_clustered — a Gaussian
+mixture that is the BEST case for a k-means-blocked level 0 (blocks
+align with real clusters). This control removes all cluster structure
+(uniform corpus; queries perturbed corpus points so recall@10 stays
+well-defined) and publishes the recall/probes curve next to the
+clustered one, showing where blocked level-0 degrades and what probe
+count recovers >=0.95.
+
+Runs on the REAL TPU chip. Writes benchmarks/uniform_control.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("TPU_HNSW_UC_N", 1_000_000))
+    dim = 128
+    block_size = 256
+    n_queries = 4096
+
+    from tpu_hnsw import BlockHnswIndex, FlatIndex, HnswConfig, Metric
+    from tpu_hnsw.io.datasets import synthetic_clustered, synthetic_uniform
+    from tpu_hnsw.utils.evalharness import measure_qps
+    from tpu_hnsw.utils.recall import recall_at_k
+
+    import jax
+
+    cfg = HnswConfig(dim=dim, m=16, ef_construction=64, seed=0)
+    out_rows = {}
+    for name, gen in (("uniform", synthetic_uniform),
+                      ("clustered", synthetic_clustered)):
+        base, queries = gen(n, dim, n_queries=n_queries, seed=42)
+        xdev = jax.block_until_ready(jax.numpy.asarray(base))
+        t0 = time.perf_counter()
+        idx = BlockHnswIndex(cfg, block_size=block_size).build(xdev)
+        jax.block_until_ready(idx.blocks)
+        build_s = time.perf_counter() - t0
+        gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+        rows = []
+        for probes in (4, 8, 16, 32, 64, 128):
+            st = {}
+            qps, ids = measure_qps(idx, queries, 10, 4 * probes,
+                                   probes=probes, pipeline=4, stats_out=st)
+            r = recall_at_k(ids, gt, 10)
+            rows.append({
+                "probes": probes,
+                "recall_at_10": round(float(r), 4),
+                "qps": round(float(qps), 1),
+                "qps_cv": st.get("qps_cv"),
+            })
+            print(name, rows[-1], flush=True)
+            if r >= 0.98 and probes >= 16:
+                break
+        out_rows[name] = {
+            "build_s_device_resident": round(build_s, 1),
+            "n_blocks": idx.n_blocks,
+            "sweep": rows,
+        }
+        del idx, xdev, base, queries
+
+    out = {
+        "config": "hard-mode data control, 1M x 128d L2, block_size=256",
+        "n": n, "dim": dim, "block_size": block_size,
+        "datasets": out_rows,
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/uniform_control.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"written": "benchmarks/uniform_control.json"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,87 @@ def test_flat_fast_path_never_returns_padded_ids():
     small = FlatIndex(x[:5], Metric.L2)
     d, ids = small.search(q, k=5)
     assert ((ids >= 0) & (ids < 5)).all()
+
+
+# --------------------------------------------------------------------------
+# round-2 advisor findings (ADVICE.md r2)
+# --------------------------------------------------------------------------
+
+
+def test_ivf_add_after_delete_preserves_live_rows():
+    """ADVICE r2 #1 (high): add() after delete() computed insertion slots
+    from the live count, overwriting live rows mid-list. The per-list
+    append cursor must make every pre-existing live row still findable."""
+    from tpu_hnsw.index.ivf import IvfFlatIndex
+
+    base, _ = synthetic_clustered(440, 8, n_queries=1, seed=17)
+    idx = IvfFlatIndex(dim=8, lists=8, seed=3)
+    idx.build(base[:400])
+    # delete 40 scattered rows (tombstones mid-list)
+    victims = np.arange(0, 400, 10)
+    idx.delete(victims)
+    assert idx.n == 360
+    new_ids = idx.add(base[400:440])
+    assert idx.n == 400
+    ids_np = np.asarray(idx.ids_by_list)
+    live = ids_np[ids_np >= 0]
+    # no live id lost, none duplicated
+    expected = np.setdiff1d(np.arange(440), victims)
+    np.testing.assert_array_equal(np.sort(live), expected)
+    # every surviving original row is still retrievable by exact probe
+    keep = np.setdiff1d(np.arange(400), victims)
+    _, got = idx.search(base[keep], k=1, probes=8)
+    assert (got[:, 0] == keep).all()
+    # and the new rows are retrievable too
+    _, got_new = idx.search(base[400:440], k=1, probes=8)
+    assert (got_new[:, 0] == new_ids).all()
+
+
+def test_ivf_cursor_recovered_after_load(tmp_path):
+    """The append cursor is recovered from the highest live slot on load;
+    add-after-load must not clobber live rows either."""
+    from tpu_hnsw.index.ivf import IvfFlatIndex
+
+    base, _ = synthetic_clustered(300, 8, n_queries=1, seed=19)
+    idx = IvfFlatIndex(dim=8, lists=4, seed=3)
+    idx.build(base[:256])
+    idx.delete(np.arange(0, 256, 7))
+    idx.save(str(tmp_path / "ivf"))
+    idx2 = IvfFlatIndex.load(str(tmp_path / "ivf"))
+    idx2.add(base[256:300])
+    ids_np = np.asarray(idx2.ids_by_list)
+    live = np.sort(ids_np[ids_np >= 0])
+    expected = np.setdiff1d(np.arange(300), np.arange(0, 256, 7))
+    np.testing.assert_array_equal(live, expected)
+
+
+def test_block_index_empty_state_is_safe():
+    """ADVICE r2 #3: size/stats/delete on a never-built BlockHnswIndex must
+    not raise AttributeError/TypeError."""
+    from tpu_hnsw.index.block import BlockHnswIndex
+
+    idx = BlockHnswIndex(HnswConfig(dim=8, m=4, ef_construction=8))
+    assert idx.size == 0
+    assert idx.stats()["n"] == 0
+    idx.delete([3, 5])  # no-op, must not raise
+    with pytest.raises(ValueError, match="empty"):
+        idx.search(np.zeros((1, 8), np.float32), k=1)
+
+
+def test_native_greedy_keeps_rows_with_invalid_candidate():
+    """ADVICE r2 #4: a row whose r-th candidate block id is invalid must
+    keep its remaining rounds (match the numpy fallback)."""
+    from tpu_hnsw.io import native as NI
+
+    if NI.load() is None:
+        pytest.skip("native library unavailable")
+    # row 0: first choice invalid (-1), second choice block 1 — must land
+    # in block 1 via its second round, not be dropped
+    cand_i = np.array([[-1, 1], [0, 1], [0, 1]], np.int32)
+    cand_d = np.array([[0.1, 0.2], [0.1, 0.9], [0.2, 0.8]], np.float32)
+    assign = np.full(3, -1, np.int64)
+    free = np.array([2, 2], np.int64)
+    got = NI.balanced_assign_greedy_native(cand_i, cand_d, 2, assign, free)
+    assert got == 3
+    assert assign[0] == 1, "row with invalid 1st choice lost its 2nd round"
+    assert (assign >= 0).all()

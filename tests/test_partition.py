@@ -199,3 +199,52 @@ def test_hierarchical_merge_2d_mesh(data):
     np.testing.assert_array_equal(
         np.asarray(i_out), np.take_along_axis(flat_i, order, axis=1)
     )
+
+
+def test_sharded_block_matches_host_loop(data):
+    """Config E composition (VERDICT r2 #1): BLOCK-engine shards under
+    shard_map + ICI all_gather merge must match the host-loop block
+    search on the same shards at the same operating point."""
+    base, queries, gt = data
+    cfg = HnswConfig(**CFG)
+    pidx = PartitionedHnswIndex(
+        cfg, n_partitions=8, router="centroid", engine="block", block_size=64
+    )
+    pidx.build(base)
+    sh = pidx.sharded()
+    probes = max(s.n_blocks for s in pidx.parts)
+    # exhaustive probes + all-partition routing: mesh == device fan-out
+    d_host, i_host = pidx.search_device(queries, k=10, ef_search=64,
+                                        probes=probes)
+    d_mesh, i_mesh = sh.search(queries, k=10, probes=probes, route_k=8)
+    i_host = np.asarray(i_host)
+    same = sum(
+        set(a.tolist()) == set(b.tolist()) for a, b in zip(i_host, i_mesh)
+    )
+    assert same >= int(0.95 * len(i_host)), f"only {same} rows match"
+    assert recall_at_k(i_mesh, gt, 10) >= 0.999  # exhaustive = exact-grade
+    # distances in operator units, ascending
+    assert (np.diff(d_mesh, axis=1) >= -1e-5).all()
+    # routed subset (route_k=2) trades recall monotonically
+    _, i_r2 = sh.search(queries, k=10, ef_search=64, route_k=2)
+    r2 = recall_at_k(i_r2, gt, 10)
+    assert 0.5 < r2 <= recall_at_k(i_mesh, gt, 10) + 1e-9
+    # ring merge identical to all_gather
+    d_rg, i_rg = sh.search(queries, k=10, probes=probes, route_k=8,
+                           merge="ring")
+    np.testing.assert_array_equal(i_mesh, i_rg)
+    # stats reports mesh memory
+    st = sh.stats()
+    assert st["n"] == len(base) and st["memory_total_bytes"] > 0
+
+
+def test_sharded_block_refuses_uncompacted_tail(data):
+    base, _, _ = data
+    cfg = HnswConfig(**CFG)
+    pidx = PartitionedHnswIndex(
+        cfg, n_partitions=4, router="hash", engine="block", block_size=64
+    )
+    pidx.build(base[:1000])
+    pidx.parts[0].add(base[1000:1004])
+    with pytest.raises(ValueError, match="tail"):
+        pidx.sharded()

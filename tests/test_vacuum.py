@@ -180,3 +180,82 @@ def test_build_checkpointing(tmp_path):
     assert resumed.n == 600
     _, ids = resumed.search(q, k=5, ef_search=40)
     assert (ids >= 0).all()
+
+
+def test_block_iterative_scan_filtered():
+    """VERDICT r2 #8: iterative scan for the flagship blocked engine —
+    probe widening with incremental (resume) block expansion."""
+    from tpu_hnsw.index.block import BlockHnswIndex
+
+    base, queries = synthetic_clustered(4000, 16, n_queries=24, seed=41)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, seed=1)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    pred = lambda ids: ids % 10 == 0  # 90%-selective
+    d, ids = idx.search_iterative(queries, k=5, ef_search=10, predicate=pred)
+    valid = ids >= 0
+    assert valid.sum() >= 0.8 * ids.size
+    assert (ids[valid] % 10 == 0).all()
+    passing = np.arange(0, 4000, 10)
+    flat = FlatIndex(base[passing], Metric.L2)
+    _, gt_local = flat.search(queries, k=5)
+    gt = passing[gt_local]
+    assert recall_at_k(np.where(valid, ids, -1), gt, 5) >= 0.7
+    # distances ascending where valid
+    for row_d, row_v in zip(d, valid):
+        dv = row_d[row_v]
+        assert (np.diff(dv) >= -1e-5).all()
+    # unfiltered iterative == plain search top-k set at same operating point
+    d0, i0 = idx.search_iterative(queries, k=5, ef_search=40)
+    _, i1 = idx.search(queries, k=5, ef_search=40)
+    same = sum(set(a.tolist()) == set(b.tolist()) for a, b in zip(i0, i1))
+    assert same >= int(0.9 * len(i0))
+
+
+def test_block_iterative_scan_max_probes_bounds():
+    from tpu_hnsw.index.block import BlockHnswIndex
+
+    base, queries = synthetic_clustered(2000, 16, n_queries=4, seed=43)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, seed=1)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    pred = lambda ids: ids < 0  # nothing passes
+    d, ids = idx.search_iterative(queries, k=5, ef_search=10, predicate=pred,
+                                  max_probes=4)
+    assert (ids == -1).all()  # terminated at the probe budget
+
+
+def test_block_iterative_scan_covers_tail():
+    """Spill-tail rows participate in the iterative scan."""
+    from tpu_hnsw.index.block import BlockHnswIndex
+
+    base, _ = synthetic_clustered(1200, 16, n_queries=1, seed=44)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, seed=1)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base[:1000])
+    new_ids = idx.add(base[1000:])
+    # query AT an added vector: it must be the top hit
+    d, ids = idx.search_iterative(base[1000:1004], k=1)
+    np.testing.assert_array_equal(ids[:, 0], new_ids[:4])
+
+
+def test_partitioned_iterative_scan_widens_route_k():
+    """VERDICT r2 #8: partitioned iterative scan — resume widens route_k
+    and only newly-routed partitions are searched."""
+    from tpu_hnsw.parallel.partition import PartitionedHnswIndex
+
+    base, queries = synthetic_clustered(4000, 16, n_queries=16, seed=45)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, wave_size=128, seed=1)
+    idx = PartitionedHnswIndex(cfg, n_partitions=8, router="centroid",
+                               route_k=1)
+    idx.build(base)
+    pred = lambda ids: ids % 7 == 0
+    d, ids = idx.search_iterative(queries, k=5, ef_search=40, predicate=pred)
+    valid = ids >= 0
+    assert valid.sum() >= 0.8 * ids.size
+    assert (ids[valid] % 7 == 0).all()
+    passing = np.arange(0, 4000, 7)
+    flat = FlatIndex(base[passing], Metric.L2)
+    _, gt_local = flat.search(queries, k=5)
+    gt = passing[gt_local]
+    assert recall_at_k(np.where(valid, ids, -1), gt, 5) >= 0.7
+    # unfiltered: widening stops at the first round that satisfies k
+    d0, i0 = idx.search_iterative(queries, k=5, ef_search=40)
+    assert (i0 >= 0).all()

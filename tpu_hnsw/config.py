@@ -54,9 +54,12 @@ HNSW_MIN_EFC, HNSW_MAX_EFC = 4, 1000
 HNSW_MIN_EFS, HNSW_MAX_EFS = 1, 1000
 
 # Default maximum upper level stored in the packed upper-level adjacency
-# array.  With ml = 1/ln(m) and m=16, P(level > 8) ~ 16^-8 ~ 5e-10: at
-# N=1e9 no element exceeds it.  Elements drawing a higher level are clamped.
-DEFAULT_MAX_LEVEL = 8
+# array.  With ml = 1/ln(m) and m=16, P(level >= 6) ~ 16^-6 ~ 4e-8: at a
+# 12.5M-row shard (config E) <1 element expects to exceed it.  Elements
+# drawing a higher level are clamped — harmless for recall (greedy
+# descent just starts one hop lower), and the table's L dimension
+# multiplies upper-level memory (8 -> 6 saves 25% of it).
+DEFAULT_MAX_LEVEL = 6
 
 
 @dataclasses.dataclass(frozen=True)

@@ -175,8 +175,12 @@ long blob_read(const char* path, uint8_t* data, long nbytes, int n_threads) {
 // Capacity-balanced greedy block assignment (index/block.py _balanced_assign
 // host stage). Round r takes, for every block, its closest still-unassigned
 // r-th-choice points up to remaining capacity. The numpy version lexsorts
-// the full pending set per round (~5s at 1M, ~50s-class at 10M); this native
-// pass sorts (block, dist) pairs with std::sort per round.
+// the full pending set per round (~5s at 1M, ~50s-class at 10M). This native
+// pass is O(n + B) per round: counting-sort claimants by block, then per
+// overfull block an nth_element partition at the remaining capacity — the
+// taken SET only needs the cap smallest by (dist, row), not a full ordering.
+// The (dist, row) comparator is a strict total order, so the taken set (and
+// therefore the whole assignment) is deterministic.
 //
 // cand_i [n, t] int32 (top-t block choices per row, nearest first)
 // cand_d [n, t] float32 (their distances)
@@ -188,41 +192,60 @@ long balanced_assign_greedy(const int32_t* cand_i, const float* cand_d,
                             int64_t* assign, int64_t* free_) {
   std::vector<long> pending(n);
   for (long i = 0; i < n; ++i) pending[i] = i;
-  struct Item { int32_t blk; float d; long row; };
-  std::vector<Item> items;
-  std::vector<long> next_pending;
+  struct Item { float d; long row; };
+  std::vector<Item> items(n);
+  std::vector<long> offsets((size_t)n_blocks + 1);
+  std::vector<uint8_t> still_pending(n);
   long assigned = 0;
+  auto cmp = [](const Item& a, const Item& b) {
+    if (a.d != b.d) return a.d < b.d;
+    return a.row < b.row;  // deterministic tie-break
+  };
   for (int r = 0; r < t && !pending.empty(); ++r) {
-    items.clear();
-    items.reserve(pending.size());
+    // counting sort of this round's claims by block id
+    std::fill(offsets.begin(), offsets.end(), 0);
     for (long p : pending) {
       int32_t b = cand_i[(size_t)p * t + r];
-      if (b < 0 || b >= n_blocks) continue;
-      items.push_back({b, cand_d[(size_t)p * t + r], p});
+      if (b >= 0 && b < n_blocks) ++offsets[(size_t)b + 1];
     }
-    std::sort(items.begin(), items.end(), [](const Item& a, const Item& b) {
-      if (a.blk != b.blk) return a.blk < b.blk;
-      if (a.d != b.d) return a.d < b.d;
-      return a.row < b.row;  // deterministic tie-break
-    });
-    next_pending.clear();
-    size_t i = 0;
-    while (i < items.size()) {
-      int32_t b = items[i].blk;
-      size_t j = i;
-      int64_t cap = free_[b];
-      for (; j < items.size() && items[j].blk == b; ++j) {
-        if ((int64_t)(j - i) < cap) {
-          assign[items[j].row] = b;
-          ++assigned;
-        } else {
-          next_pending.push_back(items[j].row);
-        }
+    for (long b = 0; b < n_blocks; ++b) offsets[b + 1] += offsets[b];
+    std::vector<long> cursor(offsets.begin(), offsets.end() - 1);
+    std::fill(still_pending.begin(), still_pending.begin() + n, 0);
+    for (long p : pending) {
+      int32_t b = cand_i[(size_t)p * t + r];
+      if (b < 0 || b >= n_blocks) {
+        // invalid r-th candidate: the row keeps its remaining rounds
+        // (matches the numpy fallback, which never drops pending rows)
+        still_pending[p] = 1;
+        continue;
       }
-      int64_t taken = (int64_t)(j - i) < cap ? (int64_t)(j - i) : cap;
-      free_[b] -= taken;
-      i = j;
+      items[cursor[b]++] = {cand_d[(size_t)p * t + r], p};
     }
+    for (long b = 0; b < n_blocks; ++b) {
+      long lo = offsets[b], hi = offsets[b + 1];
+      if (lo == hi) continue;
+      int64_t cap = free_[b];
+      long len = hi - lo;
+      if (len <= cap) {
+        for (long i = lo; i < hi; ++i) assign[items[i].row] = b;
+        free_[b] -= len;
+        assigned += len;
+      } else {
+        if (cap > 0) {
+          std::nth_element(items.begin() + lo, items.begin() + lo + cap,
+                           items.begin() + hi, cmp);
+          for (long i = lo; i < lo + cap; ++i) assign[items[i].row] = b;
+          free_[b] = 0;
+          assigned += cap;
+        }
+        for (long i = lo + cap; i < hi; ++i) still_pending[items[i].row] = 1;
+      }
+    }
+    // rebuild pending in ascending row order (deterministic)
+    std::vector<long> next_pending;
+    next_pending.reserve(pending.size());
+    for (long p : pending)
+      if (still_pending[p]) next_pending.push_back(p);
     std::sort(next_pending.begin(), next_pending.end());
     pending.swap(next_pending);
   }

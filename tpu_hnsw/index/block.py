@@ -274,6 +274,28 @@ _route_exact = jax.jit(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("p", "metric"))
+def _route_exact_sorted(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
+                        metric: Metric):
+    """Exact FULLY-SORTED top-p block ranking (lax.top_k, no approx).
+
+    Prefix-consistent: the first j columns at any p equal the ranking at
+    p=j, so iterative scans can expand incremental column slices without
+    re-scanning blocks (approx_min_k does not guarantee this)."""
+    dots = jax.lax.dot_general(
+        q.astype(centroids.dtype), centroids.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.L2:
+        sc = q_sq[:, None] + c_sq[None, :] - 2.0 * dots
+    else:
+        sc = -dots
+    cols = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+    sc = jnp.where(cols < n_blocks, sc, INF)
+    _, bids = T.topk_smallest(sc, p)
+    return bids
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _scan_tail(tail, tail_sq, tail_ids, q, q_sq, *, k: int, metric: Metric):
     """Exact scan of the spill tail [T, d] (T is small)."""
@@ -393,7 +415,8 @@ def _greedy_rounds(cand_i: np.ndarray, cand_d: np.ndarray, B: int,
 
 def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
                      B: int, t: int = 8,
-                     xj: jax.Array | None = None) -> np.ndarray:
+                     xj: jax.Array | None = None
+                     ) -> tuple[np.ndarray, dict]:
     """Assign each row to a block of capacity S, preferring near blocks.
 
     Greedy rounds over each point's top-t centroid choices: round r takes,
@@ -402,8 +425,9 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     at all t choices) fill blocks with free slots in distance-agnostic
     order — rare when B*S has slack over n.
 
-    Returns block id per row [n]. Host-side but fully vectorized (argsort
-    rounds); the top-t candidate matrix comes from device matmuls.
+    Returns (block id per row [n], stage-timing stats). Host-side but
+    fully vectorized (argsort rounds); the top-t candidate matrix comes
+    from device matmuls.
     """
     import time as _time
 
@@ -419,8 +443,11 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
         centroids = np.pad(centroids, ((0, 0), (0, dp - d_orig)))
     cj = jnp.asarray(centroids)
     c_sq = jnp.sum(cj * cj, axis=-1)
-    step = 1 << 17
-    dd, ii = [], []
+    # chunk size bounds the [step, B] score intermediate to ~2GB so huge
+    # block counts (graph-routing scale, B > 100k) still fit HBM
+    step = min(1 << 17, max(4096, _pow2((1 << 29) // max(B, 1))))
+    small_ids = B <= 65535  # ids ride the narrow fabric link as uint16
+    devs = []
     for s in range(0, n, step):
         # per-chunk f32 view: bf16 storage stays bf16 at rest; the
         # distance matmul needs matching dtypes and f32-grade norms
@@ -428,12 +455,15 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
         d, i = _top_blocks_chunk(
             xb, jnp.sum(xb * xb, -1), cj, c_sq, t=min(t, B)
         )
-        # f16 halves the device->host payload; ordering survives (greedy
-        # rounds only compare distances within one block group)
-        dd.append(np.asarray(d.astype(jnp.float16)))
-        ii.append(np.asarray(i))
-    cand_d = np.concatenate(dd)   # [n, t]
-    cand_i = np.concatenate(ii)
+        # f16 dists / uint16 ids: 32MB instead of 48MB at 1M x t=8 over
+        # the ~30MB/s relay; ordering survives (greedy rounds only
+        # compare distances within one block group). Dispatch EVERYTHING
+        # before fetching anything: per-chunk np.asarray serialized
+        # device compute behind each host fetch.
+        devs.append((d.astype(jnp.float16),
+                     i.astype(jnp.uint16) if small_ids else i))
+    cand_d = np.concatenate([np.asarray(d) for d, _ in devs])   # [n, t]
+    cand_i = np.concatenate([np.asarray(i) for _, i in devs]).astype(np.int32)
     t1 = _time.perf_counter()
     assign = np.full(n, -1, np.int64)
     free = np.full(B, S, np.int64)
@@ -449,12 +479,12 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
         if pending.size == 0 or not (free > 0).any():
             break
         full = jnp.asarray(free <= 0)
-        dd, ii = [], []
         m = int(pending.size)
         # pow2-pad the pending gather: ragged chunk shapes would compile a
         # fresh program per retry round on the remote-compile fabric
         mp = _pow2(m)
         pj = jnp.asarray(np.pad(pending, (0, mp - m)))
+        rdevs = []
         for sidx in range(0, mp, step):
             xb = jnp.take(xj, pj[sidx : sidx + step], axis=0).astype(
                 jnp.float32
@@ -462,17 +492,20 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
             d, i = _top_blocks_chunk_masked(
                 xb, jnp.sum(xb * xb, -1), cj, c_sq, full, t=min(t, B)
             )
-            dd.append(np.asarray(d.astype(jnp.float16)))
-            ii.append(np.asarray(i))
+            rdevs.append((d.astype(jnp.float16),
+                          i.astype(jnp.uint16) if small_ids else i))
         pending = _greedy_rounds(
-            np.concatenate(ii)[:m], np.concatenate(dd)[:m], B, assign,
-            free, pending,
+            np.concatenate(
+                [np.asarray(i) for _, i in rdevs]
+            )[:m].astype(np.int32),
+            np.concatenate([np.asarray(d) for d, _ in rdevs])[:m],
+            B, assign, free, pending,
         )
     leftovers = int(pending.size)
     if pending.size:
         slots = np.repeat(np.arange(B), free)  # leftover capacity, in order
         assign[pending] = slots[: pending.size]
-    _balanced_assign.last_stats = {
+    stats = {
         "assign_topk_s": round(t1 - t0, 3),
         "assign_greedy_s": round(_time.perf_counter() - t1, 3),
         "assign_retried_rows": retried,
@@ -480,7 +513,7 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
         # distance-agnostically — each is a probe-independent recall miss
         "assign_leftover_rows": leftovers,
     }
-    return assign
+    return assign, stats
 
 
 class BlockHnswIndex:
@@ -529,7 +562,8 @@ class BlockHnswIndex:
         # host state
         self._slot_of = None      # np [n_ids] -> flat slot (block*S + s), -1 if in tail
         # spill tail (inserts since last compact)
-        self.tail_n = 0
+        self.tail_n = 0       # high-water mark (next free tail slot)
+        self.tail_live = 0    # live (non-tombstoned) tail rows
         self._tail_cap = 0
         self.tail = None          # [T_pad, d]
         self.tail_sq = None
@@ -668,6 +702,7 @@ class BlockHnswIndex:
         # probes). The slack costs 5% memory/fill and removes the floor.
         B = max(1, math.ceil(n * self.block_slack / S))
         tk = _time.perf_counter()
+        assign_stats = {}
         if B == 1:
             assign = np.zeros(n, np.int64)
             ta = tk
@@ -679,12 +714,12 @@ class BlockHnswIndex:
                 assign_full=False,
             )
             ta = _time.perf_counter()
-            assign = _balanced_assign(x, centroids, S, B, xj=xj)
+            assign, assign_stats = _balanced_assign(x, centroids, S, B, xj=xj)
         tb = _time.perf_counter()
         self._pack_stats = {
             "kmeans_s": round(ta - tk, 3),
             "balanced_assign_s": round(tb - ta, 3),
-            **getattr(_balanced_assign, "last_stats", {}),
+            **assign_stats,
         }
         order = np.argsort(assign, kind="stable")
         a_sorted = assign[order]
@@ -931,6 +966,92 @@ class BlockHnswIndex:
             return np.asarray(i)
         return np.asarray(d), np.asarray(i)
 
+    def search_iterative(self, queries, k: int = 10, ef_search: int = 40,
+                         predicate=None, max_probes: int = 0):
+        """Iterative scan for the blocked engine (upstream v0.8
+        ``hnsw.iterative_scan`` analogue, VERDICT r2 #8): when a filter
+        rejects results, RESUME by widening the probe set. Routing uses
+        an exact (fully sorted) centroid ranking, which is
+        prefix-consistent, so each widening expands ONLY the blocks
+        ranked ``[p_prev, p)`` — every block is scanned at most once and
+        scanned candidates accumulate across widenings (a resume, not a
+        restart).
+
+        ``predicate(ids) -> bool mask`` runs host-side; ``max_probes``
+        (default: all blocks) bounds the scan. Returns (distances, ids)
+        with -1/inf padding when fewer than k pass."""
+        validate_ef_search(max(ef_search, 1))
+        if self.n_blocks == 0:
+            raise ValueError("index is empty")
+        max_probes = max_probes or self.n_blocks
+        max_probes = min(max_probes, self.n_blocks)
+        x = self._prep(queries)
+        nq = x.shape[0]
+        qpad = _pow2(nq)
+        if qpad != nq:
+            x = np.concatenate([x, np.zeros((qpad - nq, x.shape[1]), x.dtype)])
+        qj = jnp.asarray(x)
+        q_sq = D.squared_norms(qj)
+        W = max(4 * k, self.rerank_width)
+        # exact sorted routing once at the widest useful width: the
+        # [p_prev, p) column slices below are then exactly "the next
+        # blocks in routing order"
+        bids_full = _route_exact_sorted(
+            self.centroids, self.centroids_sq, qj, q_sq, self._n_blocks_dev,
+            p=max_probes, metric=self.cfg.metric,
+        )
+        acc_d = np.zeros((nq, 0), np.float32)
+        acc_i = np.zeros((nq, 0), np.int64)
+        if self.tail_n:  # spill tail scanned once, up front
+            t_sc, t_ids = _scan_tail(
+                self.tail, self.tail_sq, self.tail_ids, qj, q_sq,
+                k=min(W, self.tail.shape[0]), metric=self.cfg.metric,
+            )
+            acc_d = np.asarray(t_sc)[:nq].astype(np.float32)
+            acc_i = np.asarray(t_ids)[:nq].astype(np.int64)
+        out_d = np.full((nq, k), np.inf, np.float32)
+        out_i = np.full((nq, k), -1, np.int64)
+        done = np.zeros(nq, bool)
+        p_prev, p = 0, min(self.probes_for_ef(max(ef_search, k)), max_probes)
+        while True:
+            bids_new = jax.lax.slice_in_dim(bids_full, p_prev, p, axis=1)
+            kk = min(W, (p - p_prev) * self.block_size)
+            if self.two_stage:
+                sc, ids = _expand_blocks_2stage(
+                    self.blocks_score, self.blocks_sq, self.block_ids,
+                    self.blocks.reshape(-1, self.cfg.dim), qj, q_sq,
+                    bids_new, k=kk, rerank=max(self.rerank_width, kk),
+                    metric=self.cfg.metric,
+                )
+            else:
+                sc, ids = _expand_blocks(
+                    self.blocks, self.blocks_sq, self.block_ids, qj, q_sq,
+                    bids_new, k=kk, metric=self.cfg.metric,
+                )
+            acc_d = np.concatenate([acc_d, np.asarray(sc)[:nq]], axis=1)
+            acc_i = np.concatenate(
+                [acc_i, np.asarray(ids)[:nq].astype(np.int64)], axis=1
+            )
+            order = np.argsort(acc_d, axis=1, kind="stable")
+            acc_d = np.take_along_axis(acc_d, order, axis=1)
+            acc_i = np.take_along_axis(acc_i, order, axis=1)
+            mask = predicate(acc_i) if predicate is not None else acc_i >= 0
+            mask &= acc_i >= 0
+            for qi in range(nq):
+                if done[qi]:
+                    continue
+                good = np.where(mask[qi])[0][:k]
+                if len(good) >= k or p >= max_probes:
+                    out_d[qi, : len(good)] = acc_d[qi, good]
+                    out_i[qi, : len(good)] = acc_i[qi, good]
+                    done[qi] = True
+            if done.all() or p >= max_probes:
+                break
+            p_prev, p = p, min(2 * p, max_probes)
+        out_d = D.score_to_distance(jnp.asarray(out_d), self.cfg.metric)
+        out_d = np.where(out_i >= 0, np.asarray(out_d), np.inf)
+        return out_d, out_i
+
     # ------------------------------------------------------------ add/delete
     def add(self, data) -> np.ndarray:
         """Insert vectors into the spill tail (hnswinsert analogue for the
@@ -973,6 +1094,8 @@ class BlockHnswIndex:
         """Tombstone rows (hnswbulkdelete analogue): id slots become -1 and
         their vectors never score again (masked at expand time)."""
         ids = np.asarray(ids, np.int64).reshape(-1)
+        if self._slot_of is None:  # nothing built or added yet
+            return
         ids = ids[(ids >= 0) & (ids < len(self._slot_of))]
         slots = self._slot_of[ids]
         blk_slots = slots[slots >= 0]

@@ -240,6 +240,8 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
     ids = np.arange(n, dtype=np.int32)
     slots = np.full(n, g.cap_upper, np.int32)
     upper_rows = np.where(levels >= 1)[0]
+    if index.n_upper + len(upper_rows) > g.cap_upper:
+        raise RuntimeError("upper-level table overflow; increase capacity")
     slots[upper_rows] = index.n_upper + np.arange(len(upper_rows), dtype=np.int32)
     index.n_upper += len(upper_rows)
 

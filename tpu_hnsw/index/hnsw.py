@@ -266,10 +266,18 @@ class HnswIndex:
             )
         return self._entry_dev
 
-    def search_device(self, queries, k: int = 10, ef_search: int = 40):
+    def search_device(self, queries, k: int = 10, ef_search: int = 40,
+                      expand: int | None = None,
+                      descent_ef: int | None = None):
         """Device-resident search: dispatches asynchronously and returns
         (distances, ids) as device arrays (operator units; sentinel id for
-        missing). Use for pipelined serving — no host sync per call."""
+        missing). Use for pipelined serving — no host sync per call.
+
+        ``expand``/``descent_ef`` override the config's
+        ``expand_per_step``/``descent_ef`` per call (serving knobs, like
+        ef_search — wider expand trades distance evals for fewer lockstep
+        steps, which on this fabric is usually a QPS win at equal
+        recall)."""
         validate_ef_search(ef_search)
         if self.graph is None or self.n == 0:
             raise ValueError("index is empty")
@@ -306,8 +314,9 @@ class HnswIndex:
             k=k,
             ef_search=max(ef_search, k),
             metric=self.cfg.metric,
-            expand=self.cfg.expand_per_step,
-            descent_ef=self.cfg.descent_ef,
+            expand=self.cfg.expand_per_step if expand is None else expand,
+            descent_ef=(self.cfg.descent_ef if descent_ef is None
+                        else descent_ef),
         )
         return D.score_to_distance(scores[:nq], self.cfg.metric), ids[:nq]
 
@@ -317,13 +326,16 @@ class HnswIndex:
         k: int = 10,
         ef_search: int = 40,
         return_distances: bool = True,
+        expand: int | None = None,
+        descent_ef: int | None = None,
     ):
         """ORDER BY distance LIMIT k analogue (hnswscan GetScanItems).
 
         Returns (distances [Q, k] in operator units, ids [Q, k]); missing
         results carry id -1 and distance +inf.
         """
-        dists, ids = self.search_device(queries, k=k, ef_search=ef_search)
+        dists, ids = self.search_device(queries, k=k, ef_search=ef_search,
+                                        expand=expand, descent_ef=descent_ef)
         dists, ids = jax.device_get((dists, ids))
         ids = np.where(ids == self.graph.sentinel, -1, ids)
         if not return_distances:
@@ -557,15 +569,18 @@ class HnswIndex:
     ):
         """Iterative scan (upstream v0.8 ``hnsw.iterative_scan`` +
         ``hnsw.max_scan_tuples``): when a filter rejects results, RESUME
-        the search with a widened candidate pool (the loop state — pool,
-        expanded flags, history — carries over, so previously-expanded
-        nodes are never re-expanded) until k predicate-passing results are
-        found or the per-query scan budget is exhausted.
+        the search with a widened candidate pool until k predicate-passing
+        results are found or the per-query scan budget is exhausted. The
+        pool and dedup history carry over; each widening re-opens the
+        frontier (expanded flags reset) so the beam can push past the old
+        ef horizon, which re-expands up to one pool's worth of nodes —
+        bounded ~2x rework per widening, not a restart.
 
         ``max_scan_tuples`` bounds the tuples *visited* per query,
         counted as distance evaluations (the buffer-read analogue of
-        upstream's tuple count) — budgets beyond 1000 are honored; the
-        1..1000 GUC range applies only to the user-facing ``ef_search``.
+        upstream's tuple count; re-scores after a widening count against
+        the budget too) — budgets beyond 1000 are honored; the 1..1000
+        GUC range applies only to the user-facing ``ef_search``.
 
         ``predicate(ids) -> bool mask`` runs host-side (the executor-filter
         analogue). Returns (distances, ids) with -1/inf padding when fewer

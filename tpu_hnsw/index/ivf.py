@@ -27,6 +27,18 @@ IVF_DEFAULT_LISTS = 100  # upstream ivfflat default
 IVF_DEFAULT_PROBES = 1
 
 
+def _high_water(ids_np: np.ndarray) -> np.ndarray:
+    """Per-list append cursor recovered from the highest LIVE slot + 1.
+
+    Slots above the last live one are tombstoned-or-never-used; reusing
+    them cannot clobber a live row."""
+    live = ids_np >= 0
+    rev_first = live[:, ::-1].argmax(axis=1)  # 0 when no live in the list
+    return np.where(
+        live.any(axis=1), ids_np.shape[1] - rev_first, 0
+    ).astype(np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "probes", "metric"))
 def _probe_search(
     vecs_by_list,  # [L, M, d]
@@ -80,6 +92,11 @@ class IvfFlatIndex:
         self.ids_by_list = None  # [L, M]
         self.n = 0        # live rows
         self.n_total = 0  # ids ever issued (monotone id space)
+        # per-list append cursor (high-water mark). delete() tombstones
+        # slots WITHOUT moving this back: computing insertion slots from
+        # the live count instead silently overwrote live rows after a
+        # mid-list delete (ADVICE r2 #1).
+        self._cursor: np.ndarray | None = None
 
     def build(self, data) -> "IvfFlatIndex":
         data = np.asarray(data, np.float32)
@@ -112,6 +129,7 @@ class IvfFlatIndex:
         self.ids_by_list = jnp.asarray(ids)
         self.n = n
         self.n_total = n
+        self._cursor = counts.astype(np.int64)
         return self
 
     def add(self, data) -> np.ndarray:
@@ -137,7 +155,11 @@ class IvfFlatIndex:
         # np.asarray over a device array is a read-only view; copy before scatter
         ids_np = np.array(self.ids_by_list)
         vecs_np = np.array(self.vecs_by_list)
-        counts = (ids_np >= 0).sum(axis=1)
+        if self._cursor is None:  # index loaded from an older snapshot:
+            # recover each list's high-water mark from the highest live
+            # slot (every slot above it is dead and safe to overwrite)
+            self._cursor = _high_water(ids_np)
+        counts = self._cursor
         add_counts = np.bincount(assign, minlength=self.lists)
         need = int((counts + add_counts).max())
         maxlen = ids_np.shape[1]
@@ -153,6 +175,7 @@ class IvfFlatIndex:
         ids_np[a_s, slot] = new_ids[order]
         self.vecs_by_list = jnp.asarray(vecs_np)
         self.ids_by_list = jnp.asarray(ids_np)
+        self._cursor = counts + add_counts
         self.n += len(data)
         self.n_total += len(data)
         return new_ids
@@ -251,4 +274,5 @@ class IvfFlatIndex:
         idx.ids_by_list = jnp.asarray(z["ids"])
         idx.n = m["n"]
         idx.n_total = m.get("n_total", m["n"])
+        idx._cursor = _high_water(z["ids"])
         return idx

@@ -95,6 +95,30 @@ def synthetic_clustered(
     return base.astype(dtype), queries.astype(dtype)
 
 
+def synthetic_uniform(
+    n: int,
+    dim: int,
+    n_queries: int = 1000,
+    seed: int = 42,
+    dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Uniform-random corpus — the HARD-MODE control (VERDICT r2 #6).
+
+    No cluster structure at all: the worst case for any k-means-blocked
+    or centroid-routed layout (every block boundary is arbitrary), and
+    adversarial for HNSW generally (neighbors are near-equidistant in
+    high d). Queries are perturbed corpus points so recall@k is still
+    well-defined rather than measuring noise-vs-noise.
+    """
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    qidx = rng.integers(0, n, size=n_queries)
+    queries = base[qidx] + 0.02 * rng.normal(
+        0.0, 1.0, size=(n_queries, dim)
+    ).astype(np.float32)
+    return base.astype(dtype), queries.astype(dtype)
+
+
 def load_or_synthesize(
     name: str, data_dir: str | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:

@@ -46,6 +46,28 @@ def _update(x, assign, k):
     return sums / jnp.maximum(counts, 1.0)[:, None], counts
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _lloyd(x, x_sq, centroids, k: int, iters: int):
+    """``iters`` Lloyd iterations as ONE device program (fori_loop).
+
+    Per-iteration host round-trips (two dispatches + a counts fetch per
+    iter) measured ~1.5s of a 2.95s k-means at the 1M/B=4k build shape
+    on the serving fabric; a fused segment runs them back to back.
+    Empty clusters keep their previous centroid inside the segment
+    (host-side refill happens between segments)."""
+
+    def body(_, carry):
+        c, _ = carry
+        a = _assign(x, x_sq, c, k)
+        c2, counts = _update(x, a, k)
+        c2 = jnp.where(counts[:, None] < 1.0, c, c2)
+        return c2, counts
+
+    return jax.lax.fori_loop(
+        0, iters, body, (centroids, jnp.ones((k,), jnp.float32))
+    )
+
+
 def kmeans(
     data: np.ndarray,
     k: int,
@@ -92,9 +114,14 @@ def kmeans(
     # fresh program per distinct empty-count (varying shapes), which on a
     # remote-compile fabric turned 10 k-means iters into minutes.
     refill_pool = None
-    for _ in range(iters):
-        a = _assign(x, x_sq, centroids, k)
-        centroids, counts = _update(x, a, k)
+    # Lloyd iterations run in fused SEGMENTS (one dispatch each, see
+    # _lloyd); empty-cluster refill happens on host between segments.
+    if balance and iters >= 3:
+        segments = [iters - 2 * (iters // 3)] + [iters // 3] * 2
+    else:
+        segments = [iters] if iters else []
+    for seg in segments:
+        centroids, counts = _lloyd(x, x_sq, centroids, k, seg)
         if balance:
             counts_np = np.asarray(counts)
             empty = np.where(counts_np < 1)[0]

@@ -260,13 +260,100 @@ class PartitionedHnswIndex:
         ids = jnp.take_along_axis(alli, sel, axis=1)
         return vals, jnp.where(jnp.isfinite(vals), ids, -1)
 
+    def search_iterative(self, queries, k: int = 10, ef_search: int = 40,
+                         predicate=None, route_k: int | None = None,
+                         max_route_k: int = 0):
+        """Iterative scan across partitions (upstream iterative-scan
+        analogue at the partition level, VERDICT r2 #8): when a filter
+        rejects results, RESUME by widening BOTH the route set
+        (``route_k`` doubles along the router's stable partition ranking)
+        and the per-partition depth (``fetch`` doubles — a selective
+        filter pushes the nearest *passing* rows below any fixed
+        unfiltered rank, so breadth alone cannot recover them). Pending
+        queries re-search their routed partitions at the deeper fetch
+        each round; geometric doubling bounds total rework at ~2x the
+        final round, the same bound the graph engine's
+        ``search_resume`` re-expansion carries (index/hnsw.py).
+
+        A filtered query is finalized only when its k passing results
+        survive one further widening (the k-th passing distance
+        routinely exceeds the next-ranked centroid distances, so the
+        first satisfying round still misses nearer passing rows).
+        Unfiltered scans keep single-round plain-search semantics.
+
+        ``predicate(ids) -> bool mask`` runs host-side over global ids.
+        Returns (distances, ids) with -1/inf padding when fewer than k
+        pass."""
+        validate_ef_search(max(ef_search, k))
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        max_route_k = max_route_k or self.p
+        max_route_k = min(max_route_k, self.p)
+        r = route_k if route_k is not None else (self.route_k or 1)
+        r = max(1, min(r, max_route_k))
+        # full stable partition ranking per query (hash: all partitions)
+        routes_full = self.router.route(queries, self.p)  # [Q, <=P]
+        fetch = k if predicate is None else min(max(4 * k, 2 * k), 1000)
+        max_fetch = min(1000, max(fetch, max(p.n for p in self.parts)))
+        out_d = np.full((nq, k), np.inf, np.float32)
+        out_i = np.full((nq, k), -1, np.int64)
+        done = np.zeros(nq, bool)
+        confirmed = np.zeros(nq, bool)
+        while True:
+            acc_d = np.full((nq, self.p, fetch), np.inf, np.float32)
+            acc_i = np.full((nq, self.p, fetch), -1, np.int64)
+            cur_routes = routes_full[:, :r]  # [Q, r]
+            for p in range(self.p):
+                mask = (cur_routes == p).any(axis=1) & ~done
+                if not mask.any() or self.parts[p].n == 0:
+                    continue
+                kk = min(fetch, self.parts[p].n)
+                d, ids = self.parts[p].search(
+                    queries[mask], k=kk, ef_search=max(ef_search, kk)
+                )
+                glob = np.where(
+                    ids >= 0,
+                    self.parts[p]._global_ids[np.clip(ids, 0, None)], -1,
+                )
+                acc_d[mask, p, :kk] = np.where(ids >= 0, d, np.inf)
+                acc_i[mask, p, :kk] = glob
+            flat_d = acc_d.reshape(nq, -1)
+            flat_i = acc_i.reshape(nq, -1)
+            order = np.argsort(flat_d, axis=1)
+            sd = np.take_along_axis(flat_d, order, axis=1)
+            si = np.take_along_axis(flat_i, order, axis=1)
+            mask = predicate(si) if predicate is not None else si >= 0
+            mask &= si >= 0
+            exhausted = (r >= min(max_route_k, routes_full.shape[1])
+                         and fetch >= max_fetch)
+            for qi in range(nq):
+                if done[qi]:
+                    continue
+                good = np.where(mask[qi])[0][:k]
+                if len(good) >= k and not exhausted and not confirmed[qi] \
+                        and predicate is not None:
+                    confirmed[qi] = True  # widen once more, then finalize
+                    continue
+                if len(good) >= k or exhausted:
+                    out_d[qi, : len(good)] = sd[qi, good]
+                    out_i[qi, : len(good)] = si[qi, good]
+                    done[qi] = True
+            if done.all() or exhausted:
+                break
+            r = min(2 * r, max_route_k)
+            if predicate is not None:
+                fetch = min(2 * fetch, max_fetch)
+        return out_d, out_i
+
     # ------------------------------------------------------------------ mesh
-    def sharded(self, mesh: Mesh | None = None) -> "ShardedHnswSearcher":
-        if self.engine != "graph":
-            raise ValueError(
-                "sharded() requires engine='graph' (mesh-stacked search "
-                "state); block-engine partitions serve via host-loop search"
-            )
+    def sharded(self, mesh: Mesh | None = None):
+        """Mesh-parallel searcher: sub-index state stacked along a leading
+        partition axis, sharded over the mesh, one search per device under
+        ``shard_map`` + ICI top-k merge (config E's v5e-8 mode). Returns a
+        :class:`ShardedHnswSearcher` (graph engine) or
+        :class:`ShardedBlockSearcher` (block engine)."""
+        if self.engine == "block":
+            return ShardedBlockSearcher(self, mesh)
         return ShardedHnswSearcher(self, mesh)
 
     # ----------------------------------------------------------- persistence
@@ -495,3 +582,257 @@ class ShardedHnswSearcher:
                   self.entry_levels, jnp.asarray(queries), jnp.asarray(routes))
         d = np.asarray(D.score_to_distance(d, cfg.metric))
         return d, np.asarray(i)
+
+
+class ShardedBlockSearcher:
+    """Mesh-parallel partitioned search over BLOCK-engine shards — the
+    flagship serving engine at config-E scale (BASELINE.json:11, SURVEY
+    §1.3 L8): per-shard cluster-blocked stores stacked along a leading
+    partition axis and sharded over the mesh; each device routes queries
+    to its shard's top-``probes`` blocks by exact centroid scan, expands
+    them with the fused bf16-scan + exact-rerank program, maps local row
+    ids to global, and the per-shard top-k lists are merged over ICI
+    (``all_gather`` or ``ppermute`` ring — parallel/collectives.py).
+
+    The graph engine cannot fit config E's memory budget
+    (~3.3kB/element vs the block engine's ~1.1kB at 512d); this class is
+    what lets the one engine that fits ride ``shard_map``.
+
+    Shards must have empty spill tails (``compact()`` folds them in);
+    tails are per-shard mutable state that has no place in a replicated
+    serving program.
+    """
+
+    AXIS = "shard"
+
+    def __init__(self, parent: PartitionedHnswIndex, mesh: Mesh | None = None):
+        from tpu_hnsw.index.block import BlockHnswIndex  # noqa: F401
+
+        self.parent = parent
+        p = parent.p
+        if mesh is None:
+            ndev = min(p, len(jax.devices()))
+            if p % ndev != 0:
+                ndev = 1
+            mesh = jax.make_mesh((ndev,), (self.AXIS,))
+        if p % mesh.shape[self.AXIS] != 0:
+            raise ValueError(
+                f"n_partitions={p} must be a multiple of mesh size "
+                f"{mesh.shape[self.AXIS]}"
+            )
+        self.mesh = mesh
+        self._assemble()
+
+    def _assemble(self):
+        parts = self.parent.parts
+        for i, sub in enumerate(parts):
+            if getattr(sub, "tail_n", 0):
+                raise ValueError(
+                    f"partition {i} has {sub.tail_n} un-compacted tail rows;"
+                    " run compact() on every shard before sharding"
+                )
+        ref = next((s for s in parts if s.n_blocks), None)
+        if ref is None:
+            raise ValueError("every partition is empty")
+        S = ref.block_size
+        d = self.parent.cfg.dim
+        dp = ref.blocks_score.shape[2]
+        b_max = max(max(s.n_blocks for s in parts), 1)
+        self.two_stage = bool(ref.two_stage)
+        self.rerank_width = int(ref.rerank_width)
+        dt = ref.blocks.dtype
+
+        def pad_shard(sub) -> tuple:
+            B = sub.n_blocks
+            if B == 0:  # empty partition: one all-dead block
+                return (
+                    jnp.zeros((b_max, S, d), dt),
+                    jnp.zeros((b_max, S, dp), jnp.bfloat16),
+                    jnp.zeros((b_max, S), jnp.float32),
+                    jnp.full((b_max, S), -1, jnp.int32),
+                    jnp.zeros((b_max, d), dt),
+                    jnp.zeros((b_max,), jnp.float32),
+                )
+            pb = b_max - B
+
+            def pad0(a, fill=0):
+                if pb == 0:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.full((pb, *a.shape[1:]), fill, a.dtype)], axis=0
+                )
+
+            # local slot ids -> GLOBAL ids, so the merged output needs no
+            # per-shard remap (dead/pad slots stay -1)
+            bi = np.asarray(sub.block_ids)
+            gmap = np.asarray(sub._global_ids, np.int32)
+            bg = np.where(bi >= 0, gmap[np.clip(bi, 0, None)], -1).astype(
+                np.int32
+            )
+            return (
+                pad0(sub.blocks),
+                pad0(sub.blocks_score),
+                pad0(sub.blocks_sq),
+                pad0(jnp.asarray(bg), fill=-1),
+                pad0(sub.centroids),
+                pad0(sub.centroids_sq),
+            )
+
+        stacked = [pad_shard(s) for s in parts]
+        dev0 = jax.devices()[0]
+        arrays = [
+            jnp.stack([jax.device_put(s[i], dev0) for s in stacked])
+            for i in range(6)
+        ]
+        sh = NamedSharding(self.mesh, P(self.AXIS))
+        arrays = [jax.device_put(a, sh) for a in arrays]
+        (self.blocks, self.blocks_score, self.blocks_sq, self.block_gids,
+         self.centroids, self.centroids_sq) = arrays
+        self.n_blocks = jax.device_put(
+            jnp.asarray([s.n_blocks for s in parts], jnp.int32), sh
+        )
+        self._max_blocks = max(s.n_blocks for s in parts)
+        self._fn_cache = {}
+
+    def probes_for_ef(self, ef_search: int) -> int:
+        """Per-shard probe count for an ef (same mapping as the host-loop
+        engine; clamping to each shard's n_blocks happens on device via
+        padded-block masking)."""
+        import math as _math
+
+        ref = next(s for s in self.parent.parts if s.n_blocks)
+        p = _math.ceil(ef_search / 4)
+        p += int((ref.block_slack - 1) * p + 0.5)
+        # host-cached max (an eager device reduce costs ~10ms/call on the
+        # serving fabric)
+        return max(1, min(p, self._max_blocks))
+
+    def _make_fn(self, k: int, probes: int, rerank: int, route_width: int,
+                 merge: str):
+        from tpu_hnsw.index.block import (
+            _expand_blocks_2stage_body,
+            _expand_blocks_body,
+            _route_exact_body,
+        )
+        from tpu_hnsw.parallel import collectives as C
+
+        cfg = self.parent.cfg
+        metric = cfg.metric
+        p = self.parent.p
+        local_p = p // self.mesh.shape[self.AXIS]
+        axis = self.AXIS
+        two_stage = self.two_stage
+
+        def shard_body(blocks, blocks_score, blocks_sq, bgids, cents, c_sq,
+                       nb, queries, routes):
+            my = jax.lax.axis_index(axis)
+            q = queries.astype(jnp.float32)
+            q_sq = D.squared_norms(q)
+            outs_d, outs_i = [], []
+            for lp in range(local_p):
+                with jax.named_scope("route"):
+                    bids = _route_exact_body(
+                        cents[lp], c_sq[lp], q, q_sq, nb[lp], p=probes,
+                        metric=metric,
+                    )
+                with jax.named_scope("expand"):
+                    if two_stage:
+                        sc, ids = _expand_blocks_2stage_body(
+                            blocks_score[lp], blocks_sq[lp], bgids[lp],
+                            blocks[lp].reshape(-1, blocks.shape[-1]),
+                            q, q_sq, bids, k=k, rerank=rerank, metric=metric,
+                        )
+                    else:
+                        sc, ids = _expand_blocks_body(
+                            blocks[lp], blocks_sq[lp], bgids[lp], q, q_sq,
+                            bids, k=k, metric=metric,
+                        )
+                # routed-query masking: a partition not selected for a
+                # query contributes +inf/-1
+                pid = my * local_p + lp
+                selected = jnp.any(routes == pid, axis=1)
+                sc = jnp.where(selected[:, None] & (ids >= 0), sc, jnp.inf)
+                ids = jnp.where(jnp.isfinite(sc), ids, -1)
+                outs_d.append(sc)
+                outs_i.append(ids)
+            dloc = jnp.concatenate(outs_d, axis=1)
+            iloc = jnp.concatenate(outs_i, axis=1)
+            with jax.named_scope("ici_merge"):
+                if merge == "ring":
+                    return C.ring_merge_topk(dloc, iloc, k, axis)
+                return C.gather_merge_topk(dloc, iloc, k, axis)
+
+        spec_sh = P(self.AXIS)
+        spec_rep = P()
+        fn = jax.shard_map(
+            shard_body,
+            mesh=self.mesh,
+            in_specs=(spec_sh,) * 7 + (spec_rep, spec_rep),
+            out_specs=(spec_rep, spec_rep),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search_device(self, queries, k: int = 10, ef_search: int = 40,
+                      probes: int | None = None, route_k: int | None = None,
+                      merge: str = "all_gather"):
+        """Async mesh search. Returns (scores, global ids) device arrays
+        (raw score units; missing ids are -1)."""
+        validate_ef_search(max(ef_search, 1))
+        cfg = self.parent.cfg
+        if probes is None:
+            probes = self.probes_for_ef(max(ef_search, k))
+        if isinstance(queries, jax.Array) and queries.ndim == 2:
+            qj = queries.astype(jnp.float32)
+            if cfg.metric.needs_normalized:
+                qj = D.l2_normalize(qj)
+            qh = np.asarray(qj)  # router runs host-side
+        else:
+            qh = np.asarray(queries, np.float32)
+            if cfg.metric.needs_normalized:
+                nrm = np.linalg.norm(qh, axis=1, keepdims=True)
+                qh = qh / np.maximum(nrm, 1e-12)
+            qj = jnp.asarray(qh)
+        route_k = self.parent.route_k if route_k is None else route_k
+        routes = self.parent.router.route(qh, route_k)
+        key = (k, probes, routes.shape[1], merge)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._make_fn(
+                k, probes, max(self.rerank_width, k), routes.shape[1], merge
+            )
+        fn = self._fn_cache[key]
+        return fn(self.blocks, self.blocks_score, self.blocks_sq,
+                  self.block_gids, self.centroids, self.centroids_sq,
+                  self.n_blocks, qj, jnp.asarray(routes))
+
+    def search(self, queries, k: int = 10, ef_search: int = 40,
+               probes: int | None = None, route_k: int | None = None,
+               merge: str = "all_gather"):
+        """Routed mesh search + ICI merge. Returns (distances in operator
+        units, global ids) numpy arrays."""
+        sc, ids = self.search_device(queries, k=k, ef_search=ef_search,
+                                     probes=probes, route_k=route_k,
+                                     merge=merge)
+        d = np.asarray(D.score_to_distance(sc, self.parent.cfg.metric))
+        return d, np.asarray(ids)
+
+    def stats(self) -> dict:
+        comp = {
+            name: getattr(self, name).nbytes
+            for name in ("blocks", "blocks_score", "blocks_sq", "block_gids",
+                         "centroids", "centroids_sq")
+        }
+        total = sum(comp.values())
+        n = self.parent.n
+        return {
+            "n": n,
+            "partitions": self.parent.p,
+            "mesh_devices": self.mesh.shape[self.AXIS],
+            "memory_bytes": comp,
+            "memory_total_bytes": total,
+            "bytes_per_element": round(total / max(n, 1), 1),
+            "bytes_per_element_per_device": round(
+                total / self.mesh.shape[self.AXIS] / max(
+                    n / self.parent.p, 1), 1
+            ),
+        }
