@@ -11,10 +11,11 @@ from tpu_hnsw.index.block import BlockHnswIndex
 from tpu_hnsw.index.flat import FlatIndex
 from tpu_hnsw.index.hnsw import HnswIndex
 from tpu_hnsw.index.ivf import IvfFlatIndex
+from tpu_hnsw.ops.sparse import SparseFlatIndex, SparseVecs
 from tpu_hnsw.parallel.partition import PartitionedHnswIndex
 
 __all__ = [
     "HnswConfig", "Metric", "FlatIndex", "HnswIndex", "BlockHnswIndex",
-    "IvfFlatIndex", "PartitionedHnswIndex",
+    "IvfFlatIndex", "PartitionedHnswIndex", "SparseVecs", "SparseFlatIndex",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"
