@@ -7,15 +7,18 @@ map and the reference-to-TPU translation.
 """
 
 from tpu_hnsw.config import HnswConfig, Metric
+from tpu_hnsw.index.binary import BinaryHnswIndex
 from tpu_hnsw.index.block import BlockHnswIndex
 from tpu_hnsw.index.flat import FlatIndex
 from tpu_hnsw.index.hnsw import HnswIndex
 from tpu_hnsw.index.ivf import IvfFlatIndex
+from tpu_hnsw.ops.bitops import BinaryFlatIndex
 from tpu_hnsw.ops.sparse import SparseFlatIndex, SparseVecs
 from tpu_hnsw.parallel.partition import PartitionedHnswIndex
 
 __all__ = [
     "HnswConfig", "Metric", "FlatIndex", "HnswIndex", "BlockHnswIndex",
     "IvfFlatIndex", "PartitionedHnswIndex", "SparseVecs", "SparseFlatIndex",
+    "BinaryHnswIndex", "BinaryFlatIndex",
 ]
 __version__ = "0.3.0"
