@@ -146,21 +146,34 @@ def main():
         t0 = time.perf_counter()
         gidx = HnswIndex(cfg).build(base)
         g_build_s = time.perf_counter() - t0
-        g_ef, g_recall = 0, 0.0
-        for ef in (40, 64, 96, 128, 200):
-            _, g_ids = gidx.search(queries, k=10, ef_search=ef)
+        # (descent_ef, ef_search, expand) ladder, cheapest first — tuned
+        # on the 1M clustered shape (benchmarks/graph_tuning*.json).
+        # Bulk-built graphs have pure-kNN level-0 adjacency, so the
+        # single-seed descent of upstream's ef=1 loop strands basins
+        # (recall ceiling 0.75 at ef=200 measured in r3); a descent beam
+        # of 8 costs ~nothing and lifts the ceiling to 0.98. expand=4
+        # quarters the lockstep step count at equal recall.
+        ladder = [(8, 24, 4), (8, 40, 4), (8, 64, 4), (8, 96, 2),
+                  (8, 128, 1), (8, 200, 1)]
+        g_dce, g_ef, g_exp, g_recall = *ladder[-1], 0.0
+        for dce, ef, exp in ladder:
+            _, g_ids = gidx.search(queries, k=10, ef_search=ef,
+                                   expand=exp, descent_ef=dce)
             g_recall = recall_at_k(g_ids, gt, 10)
-            g_ef = ef
             if g_recall >= target_recall:
+                g_dce, g_ef, g_exp = dce, ef, exp
                 break
         g_stats = {}
-        g_qps, g_ids = measure_qps(gidx, queries, 10, g_ef, pipeline=4,
-                                   stats_out=g_stats)
+        g_qps, g_ids = measure_qps(gidx, queries, 10, g_ef, pipeline=2,
+                                   stats_out=g_stats, expand=g_exp,
+                                   descent_ef=g_dce)
         graph_extra = {
             "hnsw_graph_qps": round(float(g_qps), 1),
             "hnsw_graph_recall": round(
                 float(recall_at_k(g_ids, gt, 10)), 4),
             "hnsw_graph_ef": g_ef,
+            "hnsw_graph_descent_ef": g_dce,
+            "hnsw_graph_expand": g_exp,
             "hnsw_graph_build_s": round(g_build_s, 1),
             "hnsw_graph_bytes_per_element": gidx.stats()[
                 "bytes_per_element"],

@@ -66,6 +66,44 @@ def main():
             "n_blocks": idx.n_blocks,
             "sweep": rows,
         }
+        if name == "uniform":
+            # The planner story (hnswcostestimate analogue): when the
+            # data has no cluster structure, the blocked engine's
+            # recall/probes curve degrades — and the right plan is a
+            # different engine. Measure the alternatives at the same
+            # shape so the planner row is evidence, not prose.
+            from tpu_hnsw import HnswIndex
+
+            st = {}
+            fidx = FlatIndex(base, Metric.L2)
+            fqps, fids = measure_qps(fidx, queries, 10, 0, pipeline=4,
+                                     stats_out=st)
+            out_rows["uniform_alternatives"] = {
+                "flat_qps": round(float(fqps), 1),
+                "flat_recall": round(float(recall_at_k(fids, gt, 10)), 4),
+                "flat_qps_cv": st.get("qps_cv"),
+            }
+            if os.environ.get("TPU_HNSW_UC_GRAPH", "1") != "0":
+                t0 = time.perf_counter()
+                gidx = HnswIndex(cfg).build(xdev)
+                g_build_s = time.perf_counter() - t0
+                gst = {}
+                gqps, gids = measure_qps(gidx, queries, 10, 64, pipeline=2,
+                                         stats_out=gst, expand=4,
+                                         descent_ef=4)
+                out_rows["uniform_alternatives"].update({
+                    "graph_qps": round(float(gqps), 1),
+                    "graph_recall": round(
+                        float(recall_at_k(gids, gt, 10)), 4),
+                    "graph_ef": 64, "graph_descent_ef": 4,
+                    "graph_expand": 4,
+                    "graph_build_s": round(g_build_s, 1),
+                    "graph_qps_cv": gst.get("qps_cv"),
+                })
+                del gidx
+            print("uniform_alternatives",
+                  out_rows["uniform_alternatives"], flush=True)
+            del fidx
         del idx, xdev, base, queries
 
     out = {

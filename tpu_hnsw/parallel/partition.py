@@ -195,22 +195,29 @@ class PartitionedHnswIndex:
         return self
 
     # ---------------------------------------------------------------- search
-    def search(self, queries, k: int = 10, ef_search: int = 40, route_k: int | None = None):
+    def search(self, queries, k: int = 10, ef_search: int = 40,
+               route_k: int | None = None, descent_ef: int | None = None):
         """Routed per-partition search + global k-way top-k merge
-        (host-loop mode)."""
+        (host-loop mode). ``descent_ef`` (graph engine only) widens the
+        per-shard upper-level descent beam — bulk-built shards have
+        pure-kNN level-0 adjacency, so the default single-seed descent
+        can strand whole basins (the recall ceiling measured in
+        benchmarks/graph_tuning.json)."""
         validate_ef_search(max(ef_search, k))
         queries = np.asarray(queries, np.float32)
         route_k = self.route_k if route_k is None else route_k
         routes = self.router.route(queries, route_k)  # [Q, R]
         nq = queries.shape[0]
         r = routes.shape[1]
+        sub_kw = {} if self.engine == "block" else {"descent_ef": descent_ef}
         all_d = np.full((nq, self.p, k), np.inf, np.float32)
         all_i = np.full((nq, self.p, k), -1, np.int64)
         for p in range(self.p):
             mask = (routes == p).any(axis=1)
             if not mask.any() or self.parts[p].n == 0:
                 continue
-            d, ids = self.parts[p].search(queries[mask], k=k, ef_search=ef_search)
+            d, ids = self.parts[p].search(queries[mask], k=k,
+                                          ef_search=ef_search, **sub_kw)
             glob = np.where(ids >= 0, self.parts[p]._global_ids[np.clip(ids, 0, None)], -1)
             all_d[mask, p, :] = np.where(ids >= 0, d, np.inf)
             all_i[mask, p, :] = glob
@@ -222,7 +229,8 @@ class PartitionedHnswIndex:
         )
 
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
-                      probes: int | None = None):
+                      probes: int | None = None,
+                      descent_ef: int | None = None):
         """Device-side fan-out + merge for one-chip many-partition serving
         (config D: 8 hash partitions on one chip). Every partition is
         searched as back-to-back async dispatches and the k-way top-k
@@ -240,7 +248,8 @@ class PartitionedHnswIndex:
         for sub in self.parts:
             if sub.n == 0:
                 continue
-            kw = {"probes": probes} if self.engine == "block" else {}
+            kw = ({"probes": probes} if self.engine == "block"
+                  else {"descent_ef": descent_ef})
             d, i = sub.search_device(queries, k=k, ef_search=ef_search, **kw)
             # device-resident id map, uploaded ONCE per shard (re-uploading
             # 5MB/shard per batch over the serving fabric measured ~1.3s
@@ -502,7 +511,8 @@ class ShardedHnswSearcher:
         self._fn_cache = {}
 
     def _make_fn(self, k: int, ef: int, expand: int, max_steps: int,
-                 route_k: int, merge: str = "all_gather"):
+                 route_k: int, merge: str = "all_gather",
+                 descent_ef: int = 1):
         cfg = self.parent.cfg
         metric = cfg.metric
         p = self.parent.p
@@ -522,7 +532,8 @@ class ShardedHnswSearcher:
                     upper_slot=ups[lp], levels=levels[lp], deleted=deleted[lp],
                 )
                 q = queries.astype(g.vectors.dtype)
-                seeds = _descend_body(g, q, entries[lp], entry_levels[lp], 0, metric)
+                seeds = _descend_body(g, q, entries[lp], entry_levels[lp], 0,
+                                      metric, descent_ef=descent_ef)
                 pool_d, pool_i = _search_layer_body(
                     g, q, seeds, 0, level0=True, ef=ef, expand=expand,
                     max_steps=max_steps, metric=metric, skip_deleted=True,
@@ -563,7 +574,7 @@ class ShardedHnswSearcher:
 
     def search(self, queries, k: int = 10, ef_search: int = 40,
                route_k: int | None = None, expand: int = 1,
-               merge: str = "all_gather"):
+               merge: str = "all_gather", descent_ef: int = 1):
         cfg = self.parent.cfg
         queries = np.asarray(queries, np.float32)
         if cfg.metric.needs_normalized:
@@ -572,10 +583,11 @@ class ShardedHnswSearcher:
         route_k = self.parent.route_k if route_k is None else route_k
         routes = self.parent.router.route(queries, route_k)
         ef = max(ef_search, k)
-        key = (k, ef, expand, routes.shape[1], merge)
+        key = (k, ef, expand, routes.shape[1], merge, descent_ef)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_fn(k, ef, expand, 2 * ef + 16,
-                                                route_k, merge)
+                                                route_k, merge,
+                                                descent_ef=descent_ef)
         fn = self._fn_cache[key]
         d, i = fn(self.vectors, self.vectors_sq, self.nbr0, self.upn, self.ups,
                   self.levels, self.deleted, self.gids, self.entries,
