@@ -83,6 +83,25 @@ def main():
                 "flat_recall": round(float(recall_at_k(fids, gt, 10)), 4),
                 "flat_qps_cv": st.get("qps_cv"),
             }
+            if os.environ.get("TPU_HNSW_UC_WAVE", "0") == "1":
+                # wave-vs-bulk construction control at 100k (slow): both
+                # fail on structure-free data (measured r3: wave 0.53 vs
+                # bulk 0.46 at descent=8/ef=64; 0.64 vs 0.58 at
+                # descent=16/ef=128) — the degradation is the data's
+                # intrinsic dimensionality, not the batched build.
+                wb, wq = gen(100_000, dim, n_queries=1024, seed=42)
+                wgt = FlatIndex(wb, Metric.L2).search(wq, k=10,
+                                                      exact=True)[1]
+                rows_wb = {}
+                for mode in ("bulk", "wave"):
+                    widx = HnswIndex(cfg).build(wb, mode=mode)
+                    _, wids = widx.search(wq, k=10, ef_search=128,
+                                          expand=4, descent_ef=16)
+                    rows_wb[mode] = round(
+                        float(recall_at_k(wids, wgt, 10)), 4)
+                    del widx
+                out_rows["uniform_wave_vs_bulk_100k"] = rows_wb
+                print("wave_vs_bulk", rows_wb, flush=True)
             if os.environ.get("TPU_HNSW_UC_GRAPH", "1") != "0":
                 t0 = time.perf_counter()
                 gidx = HnswIndex(cfg).build(xdev)
