@@ -125,6 +125,17 @@ def test_jaccard_add_keeps_rerank_rows_aligned():
     assert recall_at_k(ids, gt, 10) >= 0.8
 
 
+def test_save_load_roundtrip(tmp_path):
+    base, queries = _bits(n=1500, nq=16)
+    idx = BinaryHnswIndex(NBITS, metric="jaccard").build(base)
+    d0, i0 = idx.search(queries, k=5, rerank_k=60, ef_search=64)
+    idx.save(str(tmp_path / "bin"))
+    idx2 = BinaryHnswIndex.load(str(tmp_path / "bin"))
+    d1, i1 = idx2.search(queries, k=5, rerank_k=60, ef_search=64)
+    assert np.array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+
+
 def test_stats_reports_encoding():
     base, _ = _bits(n=1200, nq=1)
     idx = BinaryHnswIndex(NBITS, metric="hamming").build(base)

@@ -154,6 +154,47 @@ class BinaryHnswIndex:
     def delete(self, ids) -> None:
         self.inner.delete(ids)
 
+    def save(self, path: str) -> None:
+        """Persist (inner engine snapshot + binary meta + packed rerank
+        rows); same explicit-snapshot durability model as the dense
+        engines (SURVEY.md §5 checkpoint/resume)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.inner.save(os.path.join(path, "inner"))
+        meta = {
+            "nbits": self.nbits,
+            "metric": self.metric,
+            "engine": self.engine,
+            "block_size": getattr(self.inner, "block_size", 0),
+        }
+        with open(os.path.join(path, "binary_meta.json"), "w") as f:
+            json.dump(meta, f)
+        if self._packed is not None:
+            np.savez(os.path.join(path, "packed.npz"), packed=self._packed)
+
+    @classmethod
+    def load(cls, path: str) -> "BinaryHnswIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "binary_meta.json")) as f:
+            meta = json.load(f)
+        if meta["engine"] == "graph":
+            inner = HnswIndex.load(os.path.join(path, "inner"))
+        else:
+            inner = BlockHnswIndex.load(os.path.join(path, "inner"))
+        idx = cls.__new__(cls)
+        idx.nbits = meta["nbits"]
+        idx.metric = meta["metric"]
+        idx.engine = meta["engine"]
+        idx.cfg = inner.cfg
+        idx.inner = inner
+        pk = os.path.join(path, "packed.npz")
+        idx._packed = np.load(pk)["packed"] if os.path.exists(pk) else None
+        return idx
+
     def stats(self) -> dict:
         s = dict(self.inner.stats())
         s["binary_nbits"] = self.nbits
