@@ -24,8 +24,10 @@ Measurement protocol (round-1 showed ~2x run-to-run variance with 3
 one-pass repeats): fixed-duration timing windows, async dispatch
 pipeline, >=10 windows, median reported, coefficient of variation in
 "extra" (<=10% reproducibility bar). Builds get the same treatment
-(round-2 showed a 78k-vs-113k swing between single timed runs): two
-measured builds post-warmup, median reported with min/max spread.
+(round-2 showed a 78k-vs-113k swing between single timed runs; round-3
+measured {11.6, 4.6, 7.2, 7.5}s post-warmup device builds on identical
+inputs — occasional fabric stalls a median of two cannot reject): THREE
+measured builds post-warmup, median reported with the full run list.
 """
 
 import json
@@ -90,28 +92,37 @@ def main():
         jax.block_until_ready(bx.blocks)
         return time.perf_counter() - t0, dict(bx.build_stats), bx
 
+    # THREE measured builds per input mode, median reported: single runs
+    # swung 78k-vs-113k in r2, and a median of two cannot reject the
+    # occasional fabric stall (r3 measured post-warmup device builds of
+    # {11.6, 4.6, 7.2, 7.5}s on identical inputs — the spread is relay /
+    # host-contention noise in the greedy-pack + result-fetch stages,
+    # not the program).
+    def median_build(inp, runs=3):
+        times, stages_list, keep = [], [], None
+        for _ in range(runs):
+            t, st, bx = timed_build(inp)
+            times.append(t)
+            stages_list.append(st)
+            if keep is None or t <= min(times[:-1], default=t):
+                keep = bx  # fastest build serves the QPS phase
+            else:
+                del bx
+        med = float(np.median(times))
+        stages = stages_list[int(np.argsort(times)[len(times) // 2])]
+        stages["build_runs_s"] = [round(t, 2) for t in sorted(times)]
+        return med, stages, keep
+
     # host-input builds (pays this fabric's ~30MB/s relay upload)
-    t_a, host_stages, idx = timed_build(base)
-    t_b, host_stages_b, idx2 = timed_build(base)
-    if t_b < t_a:
-        host_stages, idx = host_stages_b, idx2
-    build_host_times = sorted([t_a, t_b])
-    build_vps = n / float(np.median([t_a, t_b]))
-    host_stages["build_runs_s"] = [round(t, 2) for t in build_host_times]
-    del idx2
+    med_host, host_stages, idx = median_build(base)
+    build_vps = n / med_host
 
     # device-resident builds: ingest is accelerator-resident embeddings
     # (the production shape — embedding models run on the same TPUs)
     xdev = jax.block_until_ready(jnp.asarray(base))
-    t_a, dev_stages, bx = timed_build(xdev)
+    med_dev, dev_stages, bx = median_build(xdev)
     del bx
-    t_b, dev_stages_b, bx = timed_build(xdev)
-    if t_b < t_a:
-        dev_stages = dev_stages_b
-    del bx
-    build_dev_times = sorted([t_a, t_b])
-    build_vps_dev = n / float(np.median([t_a, t_b]))
-    dev_stages["build_runs_s"] = [round(t, 2) for t in build_dev_times]
+    build_vps_dev = n / med_dev
     del xdev
 
     oracle = FlatIndex(base, Metric.L2)
@@ -213,7 +224,7 @@ def main():
             "build_vs_baseline": round(build_vps_dev / 100_000.0, 4),
             "build_input": "device-resident (accelerator-produced "
             "embeddings; host-input figure below pays this fabric's "
-            "~30MB/s relay, PCIe-GB/s on a real v5e host); median of 2 "
+            "~30MB/s relay, PCIe-GB/s on a real v5e host); median of 3 "
             "post-warmup builds, spread in build_stages.build_runs_s",
             "build_stages": dev_stages,
             "build_vectors_per_sec_host_input": round(build_vps, 1),
