@@ -118,9 +118,13 @@ def main():
     build_vps = n / med_host
 
     # device-resident builds: ingest is accelerator-resident embeddings
-    # (the production shape — embedding models run on the same TPUs)
+    # (the production shape — embedding models run on the same TPUs).
+    # FIVE runs: this is the headline build figure and the fabric's
+    # stall episodes last long enough that a median of 3 can still land
+    # on one (r3: back-to-back medians of 7.3s and 20.2s on identical
+    # inputs); a median of 5 rejects two bad draws.
     xdev = jax.block_until_ready(jnp.asarray(base))
-    med_dev, dev_stages, bx = median_build(xdev)
+    med_dev, dev_stages, bx = median_build(xdev, runs=5)
     del bx
     build_vps_dev = n / med_dev
     del xdev

@@ -203,3 +203,58 @@ def test_exhaustive_scan_path_matches_gather_path():
     idx.EXHAUSTIVE_SCAN_MIN_BLOCKS = 1  # force the streamed path
     _, ids_scan = idx.search(queries, k=10, probes=idx.n_blocks)
     np.testing.assert_array_equal(ids_gather, ids_scan)
+
+
+def test_device_assign_parity_with_host(monkeypatch):
+    """The device-side balanced assignment (default) must satisfy the
+    same invariants as the host C++ greedy (TPU_HNSW_ASSIGN=host, the
+    parity oracle): every row placed exactly once, capacity respected,
+    and full-probe search stays exact."""
+    base, queries = _data(n=4096)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, seed=1)
+
+    monkeypatch.setenv("TPU_HNSW_ASSIGN", "host")
+    h = BlockHnswIndex(cfg, block_size=64).build(base)
+    monkeypatch.setenv("TPU_HNSW_ASSIGN", "device")
+    d = BlockHnswIndex(cfg, block_size=64).build(base)
+
+    bid = np.asarray(d.block_ids)
+    live = bid[bid >= 0]
+    assert live.size == 4096 and np.unique(live).size == 4096
+    assert ((bid >= 0).sum(axis=1) <= d.block_size).all()
+    assert d.build_stats.get("assign_leftover_rows", 0) == 0
+
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+    _, di = d.search(queries, k=10, probes=d.n_blocks)
+    assert recall_at_k(di, gt, 10) == 1.0
+    # routed recall parity with the host-packed index at equal probes
+    _, hp = h.search(queries, k=10, probes=8)
+    _, dp = d.search(queries, k=10, probes=8)
+    rh, rd = recall_at_k(hp, gt, 10), recall_at_k(dp, gt, 10)
+    assert rd >= rh - 0.03, (rd, rh)
+
+
+def test_device_assign_lazy_slot_delete_add_save(tmp_path, monkeypatch):
+    """The device pack defers the host id->slot map; delete/add/save must
+    materialize it transparently (_ensure_slot)."""
+    monkeypatch.setenv("TPU_HNSW_ASSIGN", "device")
+    base, queries = _data(n=2048)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, seed=2)
+    idx = BlockHnswIndex(cfg, block_size=64).build(base)
+    assert idx._slot_of is None  # deferred
+
+    gt = FlatIndex(base, Metric.L2).search(queries, k=5, exact=True)[1]
+    victim = int(gt[0, 0])
+    idx.delete([victim])
+    _, ids = idx.search(queries[:1], k=5, probes=idx.n_blocks)
+    assert victim not in ids[0]
+    assert idx.n == 2047
+
+    new_ids = idx.add(base[:3])
+    assert len(new_ids) == 3 and idx.tail_live == 3
+
+    idx.save(str(tmp_path / "blk"))
+    idx2 = BlockHnswIndex.load(str(tmp_path / "blk"))
+    _, i1 = idx.search(queries, k=5, probes=8)
+    _, i2 = idx2.search(queries, k=5, probes=8)
+    np.testing.assert_array_equal(i1, i2)

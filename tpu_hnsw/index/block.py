@@ -346,6 +346,139 @@ def _top_blocks_chunk_masked(x, x_sq, cents, c_sq, full, *, t: int):
     return T.topk_smallest_fast(sc, t)
 
 
+@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2, 3))
+def _assign_rounds_device(cand_i, cand_d, assign, free, *, B: int):
+    """Device-side capacity-greedy rounds (same semantics as the host
+    C++ greedy in cpp/io_native.cpp: round r ranks each block's round-r
+    proposals by distance and accepts up to remaining capacity, ties
+    arbitrary).
+
+    Why on device: the bench host has ONE shared CPU core — the native
+    greedy's wall time measured 2.0s..17.5s on identical input (r3
+    bench records), and the candidate matrix otherwise rides the
+    ~30MB/s relay to the host. Here the per-round rank-within-block is
+    a lexicographic device sort (block, dist) + searchsorted — 1M rows
+    sort in milliseconds on the VPU and nothing leaves HBM.
+    """
+    n, t = cand_i.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    for r in range(t):  # t is static (<= 8): unrolled rounds
+        unas = assign < 0
+        ok_cand = unas & jnp.isfinite(cand_d[:, r])
+        blk = jnp.where(ok_cand, cand_i[:, r].astype(jnp.int32), B)
+        dist = jnp.where(ok_cand, cand_d[:, r].astype(jnp.float32), INF)
+        sb, _, rows = jax.lax.sort((blk, dist, iota), num_keys=2)
+        starts = jnp.searchsorted(sb, jnp.arange(B, dtype=jnp.int32))
+        sbc = jnp.clip(sb, 0, B - 1)
+        rank = iota - starts[sbc].astype(jnp.int32)
+        acc = (sb < B) & (rank < free[sbc])
+        # accepted rows move -1 -> block id; .max never regresses an
+        # already-assigned row (each row is proposed at most once/round)
+        assign = assign.at[rows].max(jnp.where(acc, sb, -1))
+        free = free - jax.ops.segment_sum(
+            acc.astype(jnp.int32), sbc, num_segments=B
+        )
+    return assign, free
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _leftover_fill_device(assign, free, *, B: int):
+    """Distance-agnostic fill of rows whose every candidate block filled
+    (the host path's ``slots = repeat(arange(B), free)`` in device form:
+    pending-rank -> first block whose cumulative free covers it)."""
+    unas = assign < 0
+    pr = jnp.cumsum(unas.astype(jnp.int32)) - 1
+    cumfree = jnp.cumsum(free)
+    blk = jnp.searchsorted(cumfree, pr, side="right").astype(jnp.int32)
+    can = unas & (pr < cumfree[B - 1])
+    return jnp.where(can, jnp.clip(blk, 0, B - 1), assign)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "B"))
+def _pack_block_ids_device(assign, *, S: int, B: int):
+    """[n] block assignment -> [B, S] member-id table, on device (the
+    np.argsort/scatter pack without the 4B*B*S host round-trip)."""
+    n = assign.shape[0]
+    order = jnp.argsort(assign)
+    a_sorted = jnp.take(assign, order)
+    starts = jnp.searchsorted(a_sorted, jnp.arange(B, dtype=a_sorted.dtype))
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[
+        jnp.clip(a_sorted, 0, B - 1)
+    ].astype(jnp.int32)
+    ok = (a_sorted >= 0) & (pos >= 0) & (pos < S)
+    idx = jnp.where(ok, a_sorted.astype(jnp.int32) * S + pos, B * S)
+    flat = jnp.full((B * S + 1,), -1, jnp.int32)  # last slot = dump
+    flat = flat.at[idx].set(order.astype(jnp.int32))
+    return flat[: B * S].reshape(B, S)
+
+
+def _balanced_assign_device(xj: jax.Array, centroids, S: int, B: int,
+                            t: int = 8) -> tuple[jax.Array, dict]:
+    """:func:`_balanced_assign` with every stage on device: top-t scoring
+    (chunked MXU matmuls), greedy rounds, two retry passes against
+    still-open blocks, leftover fill. Only two *scalar* counters are
+    fetched (retried/leftover rows, stats parity with the host path);
+    the [n, t] candidate matrix and the assignment never leave HBM.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    n = xj.shape[0]
+    d_orig = xj.shape[1]
+    dp = ((d_orig + 127) // 128) * 128
+    cj = jnp.asarray(centroids, jnp.float32)
+    if dp != d_orig:  # lane-pad the matmul operands (see host path)
+        xj = jnp.pad(xj, ((0, 0), (0, dp - d_orig)))
+        cj = jnp.pad(cj, ((0, 0), (0, dp - d_orig)))
+    c_sq = jnp.sum(cj * cj, axis=-1)
+    step = min(1 << 17, max(4096, _pow2((1 << 29) // max(B, 1))))
+    tt = min(t, B)
+
+    def score_all(full):
+        ds, is_ = [], []
+        for s in range(0, n, step):
+            xb = xj[s : s + step].astype(jnp.float32)
+            xsq = jnp.sum(xb * xb, axis=-1)
+            if full is None:
+                d_, i_ = _top_blocks_chunk(xb, xsq, cj, c_sq, t=tt)
+            else:
+                d_, i_ = _top_blocks_chunk_masked(xb, xsq, cj, c_sq, full,
+                                                  t=tt)
+            ds.append(d_)
+            is_.append(i_)
+        return jnp.concatenate(ds), jnp.concatenate(is_)
+
+    cand_d, cand_i = score_all(None)
+    jax.block_until_ready(cand_d)
+    t1 = _time.perf_counter()
+    assign = jnp.full((n,), -1, jnp.int32)
+    free = jnp.full((B,), S, jnp.int32)
+    assign, free = _assign_rounds_device(cand_i, cand_d, assign, free, B=B)
+    retried = int(jnp.sum(assign < 0))  # scalar fetch (stats + loop exit)
+    left = retried
+    for _retry in range(3):  # host-path parity: 3 rounds leave ~none
+        if left == 0:
+            break
+        # retry: re-rank pending rows against only still-open blocks.
+        # Scoring runs over all rows (static shapes; assigned rows are
+        # masked inside the rounds) — a full [n, B] matmul is ~10ms on
+        # the MXU, cheaper than a dynamic-shape recompile.
+        rd, ri = score_all(free <= 0)
+        assign, free = _assign_rounds_device(ri, rd, assign, free, B=B)
+        left = int(jnp.sum(assign < 0))
+    if left:
+        assign = _leftover_fill_device(assign, free, B=B)
+    jax.block_until_ready(assign)
+    stats = {
+        "assign_topk_s": round(t1 - t0, 3),
+        "assign_greedy_s": round(_time.perf_counter() - t1, 3),
+        "assign_retried_rows": retried,
+        "assign_leftover_rows": left,
+        "assign_mode": "device",
+    }
+    return assign, stats
+
+
 
 
 def _make_score_copy(blocks: jax.Array) -> jax.Array:
@@ -468,6 +601,7 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     assign = np.full(n, -1, np.int64)
     free = np.full(B, S, np.int64)
     pending = _greedy_rounds(cand_i, cand_d, B, assign, free, np.arange(n))
+    t_native0 = _time.perf_counter() - t1  # first native pass, no device IO
     # retry pass: rows whose top-t blocks all filled re-rank against only
     # the blocks that still have capacity (one masked matmul over pending
     # rows — measured ~10% of 1M rows leftover without it, each a
@@ -508,6 +642,10 @@ def _balanced_assign(x: np.ndarray, centroids: np.ndarray, S: int,
     stats = {
         "assign_topk_s": round(t1 - t0, 3),
         "assign_greedy_s": round(_time.perf_counter() - t1, 3),
+        # sub-split so a slow record run explains itself: native_s is the
+        # pure host C++ greedy (no device IO); the remainder of greedy_s
+        # is retry-round device dispatch + relay fetches
+        "assign_greedy_native_s": round(t_native0, 3),
         "assign_retried_rows": retried,
         # rows that exhausted even the retry pass and were placed
         # distance-agnostically — each is a probe-independent recall miss
@@ -714,6 +852,22 @@ class BlockHnswIndex:
                 assign_full=False,
             )
             ta = _time.perf_counter()
+            if os.environ.get("TPU_HNSW_ASSIGN", "device") == "device":
+                # device path (default): nothing leaves HBM; the host
+                # path is kept for hosts with real CPUs + PCIe
+                # (TPU_HNSW_ASSIGN=host) and as the parity oracle
+                if xj is None:
+                    xj = jnp.asarray(x)
+                assign_dev, assign_stats = _balanced_assign_device(
+                    xj, centroids, S, B
+                )
+                tb = _time.perf_counter()
+                self._pack_stats = {
+                    "kmeans_s": round(ta - tk, 3),
+                    "balanced_assign_s": round(tb - ta, 3),
+                    **assign_stats,
+                }
+                return _pack_block_ids_device(assign_dev, S=S, B=B)
             assign, assign_stats = _balanced_assign(x, centroids, S, B, xj=xj)
         tb = _time.perf_counter()
         self._pack_stats = {
@@ -740,7 +894,9 @@ class BlockHnswIndex:
         B = block_ids.shape[0]
         if xj is None:
             xj = jnp.asarray(x)
-        safe = np.where(block_ids < 0, 0, block_ids)
+        on_device = isinstance(block_ids, jax.Array)
+        xp = jnp if on_device else np  # device-pack path: no host fetch
+        safe = xp.where(block_ids < 0, 0, block_ids)
         valid = jnp.asarray((block_ids >= 0).reshape(-1, 1))
         # storage-dtype blocks FIRST, centroids from those: load() recomputes
         # centroids from the persisted blocks, so deriving them from the
@@ -766,11 +922,18 @@ class BlockHnswIndex:
         self._n_blocks_dev = jnp.int32(B)
         self.n = n
         self.n_total = n
-        slot = np.full(int(block_ids.max()) + 1 if n else 0, -1, np.int64)
-        flat = block_ids.reshape(-1)
-        live = flat >= 0
-        slot[flat[live]] = np.arange(B * S, dtype=np.int64)[live]
-        self._slot_of = slot
+        if on_device:
+            # id->slot map built LAZILY (_ensure_slot): it exists only
+            # for delete/add/save, and materializing it here would pull
+            # B*S*4 bytes back over the relay on every build
+            self._slot_of = None
+        else:
+            slot = np.full(int(block_ids.max()) + 1 if n else 0, -1,
+                           np.int64)
+            flat = block_ids.reshape(-1)
+            live = flat >= 0
+            slot[flat[live]] = np.arange(B * S, dtype=np.int64)[live]
+            self._slot_of = slot
         # ---- 3. upper levels: HNSW graph over block centroids — built
         # LAZILY (only graph routing traverses it; exact routing at
         # B <= EXACT_ROUTING_MAX never does, and the 3907-node graph
@@ -1053,6 +1216,29 @@ class BlockHnswIndex:
         return out_d, out_i
 
     # ------------------------------------------------------------ add/delete
+    def _ensure_slot(self) -> None:
+        """Materialize the host id->slot map if the device-side pack
+        deferred it (one block_ids fetch; only delete/add/save need the
+        map, never the build or serving paths)."""
+        if self._slot_of is not None or self.block_ids is None:
+            return
+        block_ids = np.asarray(self.block_ids)
+        flat = block_ids.reshape(-1)
+        live = flat >= 0
+        n_ids = int(flat[live].max()) + 1 if live.any() else 0
+        hi = n_ids
+        t_ids = None
+        if self.tail_n:
+            t_ids = np.asarray(self.tail_ids[: self.tail_n])
+            t_ids = t_ids[t_ids >= 0]
+            if t_ids.size:
+                hi = max(hi, int(t_ids.max()) + 1)
+        slot = np.full(hi, -1, np.int64)
+        slot[flat[live]] = np.arange(flat.size, dtype=np.int64)[live]
+        if t_ids is not None and t_ids.size:
+            slot[t_ids] = -2  # in tail
+        self._slot_of = slot
+
     def add(self, data) -> np.ndarray:
         """Insert vectors into the spill tail (hnswinsert analogue for the
         blocked layout; fold into blocks with :meth:`compact`)."""
@@ -1082,6 +1268,7 @@ class BlockHnswIndex:
         )
         self.tail_n = need
         self.tail_live += count
+        self._ensure_slot()  # device-pack deferral: rebuild before writes
         if self._slot_of is None or len(self._slot_of) < ids[-1] + 1:
             grown = np.full(ids[-1] + 1, -1, np.int64)
             if self._slot_of is not None:
@@ -1094,6 +1281,7 @@ class BlockHnswIndex:
         """Tombstone rows (hnswbulkdelete analogue): id slots become -1 and
         their vectors never score again (masked at expand time)."""
         ids = np.asarray(ids, np.int64).reshape(-1)
+        self._ensure_slot()  # device-pack deferral
         if self._slot_of is None:  # nothing built or added yet
             return
         ids = ids[(ids >= 0) & (ids < len(self._slot_of))]
@@ -1185,6 +1373,7 @@ class BlockHnswIndex:
     # ----------------------------------------------------------- persistence
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        self._ensure_slot()  # device-pack deferral: persist a real map
         blocks = np.asarray(self.blocks)
         if blocks.dtype != np.float32:  # bf16: persist natively as uint16
             blocks = blocks.view(np.uint16)
