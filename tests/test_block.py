@@ -258,3 +258,34 @@ def test_device_assign_lazy_slot_delete_add_save(tmp_path, monkeypatch):
     _, i1 = idx.search(queries, k=5, probes=8)
     _, i2 = idx2.search(queries, k=5, probes=8)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_int8_score_copy_recall_parity(monkeypatch):
+    """TPU_HNSW_SCORE_DTYPE=int8: per-block symmetric quantization of the
+    stage-1 scan. Exact rerank restores precision, so routed recall must
+    match the bf16 copy within noise."""
+    base, queries = _data(n=4096)
+    cfg = HnswConfig(dim=32, m=8, ef_construction=32, seed=1)
+    monkeypatch.setenv("TPU_HNSW_SCORE_DTYPE", "bf16")
+    b16 = BlockHnswIndex(cfg, block_size=64).build(base)
+    assert b16.score_scale is None
+    monkeypatch.setenv("TPU_HNSW_SCORE_DTYPE", "int8")
+    i8 = BlockHnswIndex(cfg, block_size=64).build(base)
+    assert i8.score_scale is not None and i8.blocks_score.dtype == "int8"
+
+    gt = FlatIndex(base, Metric.L2).search(queries, k=10, exact=True)[1]
+    _, ids16 = b16.search(queries, k=10, probes=8)
+    _, ids8 = i8.search(queries, k=10, probes=8)
+    r16 = recall_at_k(ids16, gt, 10)
+    r8 = recall_at_k(ids8, gt, 10)
+    assert r8 >= r16 - 0.02, (r8, r16)
+    # full-probe scan stays exact through the rerank
+    _, full8 = i8.search(queries, k=10, probes=i8.n_blocks)
+    assert recall_at_k(full8, gt, 10) >= 0.99
+    # returned distances are exact-grade (stage 2 re-scores from f32)
+    d8, i8ids = i8.search(queries[:4], k=5, probes=8)
+    gt_d, _ = FlatIndex(base, Metric.L2).search(queries[:4], k=5, exact=True)
+    for qi in range(4):
+        got = i8ids[qi, 0]
+        true = float(np.sqrt(((base[got] - queries[qi]) ** 2).sum()))
+        assert abs(d8[qi, 0] - true) < 1e-3

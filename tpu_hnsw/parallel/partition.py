@@ -654,16 +654,22 @@ class ShardedBlockSearcher:
         self.rerank_width = int(ref.rerank_width)
         dt = ref.blocks.dtype
 
+        score_dt = ref.blocks_score.dtype
+        # int8 scoring copies carry per-block dequant scales; shards all
+        # share the env-selected dtype, so presence on ref decides
+        self._has_scale = ref.score_scale is not None
+
         def pad_shard(sub) -> tuple:
             B = sub.n_blocks
             if B == 0:  # empty partition: one all-dead block
                 return (
                     jnp.zeros((b_max, S, d), dt),
-                    jnp.zeros((b_max, S, dp), jnp.bfloat16),
+                    jnp.zeros((b_max, S, dp), score_dt),
                     jnp.zeros((b_max, S), jnp.float32),
                     jnp.full((b_max, S), -1, jnp.int32),
                     jnp.zeros((b_max, d), dt),
                     jnp.zeros((b_max,), jnp.float32),
+                    jnp.ones((b_max,), jnp.float32),
                 )
             pb = b_max - B
 
@@ -688,18 +694,21 @@ class ShardedBlockSearcher:
                 pad0(jnp.asarray(bg), fill=-1),
                 pad0(sub.centroids),
                 pad0(sub.centroids_sq),
+                pad0(sub.score_scale, fill=1.0)
+                if sub.score_scale is not None
+                else jnp.ones((b_max,), jnp.float32),
             )
 
         stacked = [pad_shard(s) for s in parts]
         dev0 = jax.devices()[0]
         arrays = [
             jnp.stack([jax.device_put(s[i], dev0) for s in stacked])
-            for i in range(6)
+            for i in range(7)
         ]
         sh = NamedSharding(self.mesh, P(self.AXIS))
         arrays = [jax.device_put(a, sh) for a in arrays]
         (self.blocks, self.blocks_score, self.blocks_sq, self.block_gids,
-         self.centroids, self.centroids_sq) = arrays
+         self.centroids, self.centroids_sq, self.score_scales) = arrays
         self.n_blocks = jax.device_put(
             jnp.asarray([s.n_blocks for s in parts], jnp.int32), sh
         )
@@ -734,9 +743,10 @@ class ShardedBlockSearcher:
         local_p = p // self.mesh.shape[self.AXIS]
         axis = self.AXIS
         two_stage = self.two_stage
+        has_scale = self._has_scale
 
         def shard_body(blocks, blocks_score, blocks_sq, bgids, cents, c_sq,
-                       nb, queries, routes):
+                       nb, scales, queries, routes):
             my = jax.lax.axis_index(axis)
             q = queries.astype(jnp.float32)
             q_sq = D.squared_norms(q)
@@ -753,6 +763,7 @@ class ShardedBlockSearcher:
                             blocks_score[lp], blocks_sq[lp], bgids[lp],
                             blocks[lp].reshape(-1, blocks.shape[-1]),
                             q, q_sq, bids, k=k, rerank=rerank, metric=metric,
+                            score_scale=(scales[lp] if has_scale else None),
                         )
                     else:
                         sc, ids = _expand_blocks_body(
@@ -779,7 +790,7 @@ class ShardedBlockSearcher:
         fn = jax.shard_map(
             shard_body,
             mesh=self.mesh,
-            in_specs=(spec_sh,) * 7 + (spec_rep, spec_rep),
+            in_specs=(spec_sh,) * 8 + (spec_rep, spec_rep),
             out_specs=(spec_rep, spec_rep),
             check_vma=False,
         )
@@ -815,7 +826,8 @@ class ShardedBlockSearcher:
         fn = self._fn_cache[key]
         return fn(self.blocks, self.blocks_score, self.blocks_sq,
                   self.block_gids, self.centroids, self.centroids_sq,
-                  self.n_blocks, qj, jnp.asarray(routes))
+                  self.n_blocks, self.score_scales, qj,
+                  jnp.asarray(routes))
 
     def search(self, queries, k: int = 10, ef_search: int = 40,
                probes: int | None = None, route_k: int | None = None,
