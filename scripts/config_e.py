@@ -87,7 +87,7 @@ def main():
 
     rows = []
     for route_k in (2, 4, 8):
-        for ef in (64, 128):
+        for ef in (64, 128, 256):
             t0 = time.perf_counter()
             _, ids = sharded.search(queries, k=10, ef_search=ef,
                                     route_k=route_k)

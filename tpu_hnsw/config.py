@@ -117,8 +117,13 @@ class HnswConfig:
             raise ValueError("ef_construction must be >= 2 * m")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError("dtype must be float32 or bfloat16")
-        if self.metric in (Metric.L1, Metric.HAMMING, Metric.JACCARD):
-            raise ValueError(f"{self.metric} is not supported by the HNSW index yet")
+        if self.metric in (Metric.HAMMING, Metric.JACCARD):
+            # bit-vector opclasses ride BinaryHnswIndex (index/binary.py),
+            # which encodes bits into the dense engines
+            raise ValueError(
+                f"{self.metric} is not supported by the HNSW index; "
+                "use BinaryHnswIndex for bit vectors"
+            )
 
     @property
     def ml(self) -> float:

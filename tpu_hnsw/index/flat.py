@@ -52,14 +52,24 @@ def _stream_search(q, xs, xs_sq, valid, k: int, metric: Metric, precision,
     def body(carry, inp):
         best_d, best_i, off = carry
         xb, xb_sq, vb = inp
-        dots = jax.lax.dot_general(
-            qx, xb.T, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        if metric is Metric.L2:
-            sc = jnp.maximum(q_sq[:, None] + xb_sq[None, :] - 2.0 * dots, 0.0)
+        if metric is Metric.L1:
+            # ``<+>`` has no matmul form: Q x blk x d elementwise reduce on
+            # the VPU (XLA fuses the |q - x| sum without materializing the
+            # 3-d intermediate). Exact scans are the L1 serving path; the
+            # graph engine's L1 beam search pays the same VPU form.
+            sc = jnp.sum(
+                jnp.abs(qx.astype(jnp.float32)[:, None, :]
+                        - xb.astype(jnp.float32)[None, :, :]), axis=-1)
         else:
-            sc = -dots
+            dots = jax.lax.dot_general(
+                qx, xb.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if metric is Metric.L2:
+                sc = jnp.maximum(
+                    q_sq[:, None] + xb_sq[None, :] - 2.0 * dots, 0.0)
+            else:
+                sc = -dots
         sc = jnp.where(vb[None, :], sc, T.INF)
         if approx:
             tv, ti = jax.lax.approx_min_k(sc, kk)

@@ -135,8 +135,15 @@ class HnswIndex:
             self.capacity = max(self.cfg.max_elements, x.shape[0])
         if mode not in ("auto", "bulk", "wave"):
             raise ValueError("mode must be auto|bulk|wave")
+        if mode == "bulk" and self.cfg.metric is Metric.L1:
+            # the bulk path's candidate generation is k-means clustering
+            # (L2/IP geometry); L1 (vector_l1_ops) builds via waves, whose
+            # beam search + SelectNeighbors score natively in L1
+            raise ValueError("bulk build does not support Metric.L1; "
+                             "use mode='wave'")
         use_bulk = mode == "bulk" or (
             mode == "auto" and self.n == 0 and x.shape[0] >= self.BULK_THRESHOLD
+            and self.cfg.metric is not Metric.L1
         )
         if use_bulk:
             from tpu_hnsw.index.build_cluster import build_bulk
@@ -585,6 +592,14 @@ class HnswIndex:
         ``predicate(ids) -> bool mask`` runs host-side (the executor-filter
         analogue). Returns (distances, ids) with -1/inf padding when fewer
         than k survive.
+
+        Ordering: results come from the final sorted candidate pool, so
+        they are ascending-by-distance — upstream's ``strict_order``
+        semantics. ``relaxed_order`` exists upstream because its executor
+        streams tuples batch-by-batch and a resume may surface a closer
+        tuple after a farther one was already emitted; this API returns
+        one final top-k per query, so there is no weaker ordering to
+        offer (no knob needed).
         """
         from tpu_hnsw.index.search import search_resumable_start, search_resume
 

@@ -25,6 +25,8 @@ def _score(q: np.ndarray, x: np.ndarray, metric: Metric) -> float:
     if metric is Metric.L2:
         d = q - x
         return float(np.dot(d, d))
+    if metric is Metric.L1:
+        return float(np.sum(np.abs(q - x)))
     return float(-np.dot(q, x))
 
 

@@ -38,6 +38,12 @@ def pairwise_cand_scores(
     vecs: jax.Array, vecs_sq: jax.Array, metric: Metric
 ) -> jax.Array:
     """Inter-candidate scores [B, C, C] from gathered vectors [B, C, d]."""
+    if metric is Metric.L1:
+        # vector_l1_ops: elementwise [B, C, C, d] reduce — C is bounded by
+        # ef_construction-scale candidate sets, so the fused abs-sum stays
+        # cheap relative to the search that produced the candidates.
+        vf = vecs.astype(jnp.float32)
+        return jnp.sum(jnp.abs(vf[:, :, None, :] - vf[:, None, :, :]), axis=-1)
     dots = jnp.einsum(
         "bid,bjd->bij", vecs, vecs, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,

@@ -95,6 +95,10 @@ def batched_scores(
     if metric is Metric.L2:
         d = qf - vf
         return jnp.sum(d * d, axis=-1)
+    if metric is Metric.L1:
+        # ``<+>`` (vector_l1_ops): no matmul form exists, but this path is
+        # elementwise VPU work anyway, so L1 costs the same as L2 here.
+        return jnp.sum(jnp.abs(qf - vf), axis=-1)
     return -jnp.sum(qf * vf, axis=-1)
 
 
