@@ -44,51 +44,54 @@ def main():
     q = jnp.asarray(rng.normal(size=(Q, d)).astype(np.float32))
     rows = Q * G
 
+    # tables are ARGUMENTS, not closures: a closed-over device array is a
+    # program constant, and this fabric ships constants inside the
+    # remote-compile request (a 512MB table -> HTTP 413)
     @jax.jit
-    def gather_f32(ids):
-        return jnp.take(tbl_f32, ids, axis=0, mode="clip").sum()
+    def gather_f32(tbl, ids):
+        return jnp.take(tbl, ids, axis=0, mode="clip").sum()
 
-    t = timeit(gather_f32, ids)
+    t = timeit(gather_f32, tbl_f32, ids)
     print(f"gather f32 [“{Q},{G},128]: {t*1e3:.2f}ms {rows/t/1e6:.1f}M rows/s "
           f"{rows*512/t/1e9:.0f}GB/s", flush=True)
 
     @jax.jit
-    def gather_sq(ids):
-        return jnp.take(tbl_sq, ids, mode="clip").sum()
+    def gather_sq(tbl, ids):
+        return jnp.take(tbl, ids, mode="clip").sum()
 
-    t = timeit(gather_sq, ids)
+    t = timeit(gather_sq, tbl_sq, ids)
     print(f"gather sq [{Q},{G}]: {t*1e3:.2f}ms {rows/t/1e6:.1f}M rows/s", flush=True)
 
     @jax.jit
-    def gather_score(ids, q):
-        v = jnp.take(tbl_f32, ids, axis=0, mode="clip")
-        v_sq = jnp.take(tbl_sq, ids, mode="clip")
+    def gather_score(tbl, tsq, ids, q):
+        v = jnp.take(tbl, ids, axis=0, mode="clip")
+        v_sq = jnp.take(tsq, ids, mode="clip")
         dots = jnp.einsum("qd,qgd->qg", q, v, preferred_element_type=jnp.float32)
         return (v_sq - 2 * dots).sum()
 
-    t = timeit(gather_score, ids, q)
+    t = timeit(gather_score, tbl_f32, tbl_sq, ids, q)
     print(f"gather+score (sq gathered): {t*1e3:.2f}ms", flush=True)
 
     @jax.jit
-    def gather_score_fused_sq(ids, q):
-        v = jnp.take(tbl_f32, ids, axis=0, mode="clip")
+    def gather_score_fused_sq(tbl, ids, q):
+        v = jnp.take(tbl, ids, axis=0, mode="clip")
         v_sq = jnp.sum(v * v, axis=-1)
         dots = jnp.einsum("qd,qgd->qg", q, v, preferred_element_type=jnp.float32)
         return (v_sq - 2 * dots).sum()
 
-    t = timeit(gather_score_fused_sq, ids, q)
+    t = timeit(gather_score_fused_sq, tbl_f32, ids, q)
     print(f"gather+score (sq on VPU):   {t*1e3:.2f}ms", flush=True)
 
     @jax.jit
-    def gather_score_bf16(ids, q):
-        v = jnp.take(tbl_bf16, ids, axis=0, mode="clip")
+    def gather_score_bf16(tbl, ids, q):
+        v = jnp.take(tbl, ids, axis=0, mode="clip")
         v32 = v.astype(jnp.float32)
         v_sq = jnp.sum(v32 * v32, axis=-1)
         dots = jnp.einsum("qd,qgd->qg", q.astype(jnp.bfloat16), v,
                           preferred_element_type=jnp.float32)
         return (v_sq - 2 * dots).sum()
 
-    t = timeit(gather_score_bf16, ids, q)
+    t = timeit(gather_score_bf16, tbl_bf16, ids, q)
     print(f"gather+score bf16:          {t*1e3:.2f}ms", flush=True)
 
     # flat scan at 1M

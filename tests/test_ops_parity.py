@@ -64,6 +64,45 @@ class TestVectorOps:
         a = np.array([-1.0, 0.0, 2.0, 0.5])
         np.testing.assert_array_equal(np.asarray(V.binary_quantize(a)), [0, 0, 1, 1])
 
+    def test_vector_text_io_roundtrip(self):
+        # upstream vector_in/vector_out: '[1,2,3]' literals, shortest
+        # round-trip decimals on output
+        v = V.vector_in(" [1, 2.5 ,-3e-2] ")
+        assert v.dtype == np.float32
+        np.testing.assert_allclose(v, [1.0, 2.5, -0.03], rtol=1e-6)
+        assert V.vector_out(np.array([1.0, 2.5, -0.03], np.float32)) == \
+            "[1,2.5,-0.03]"
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=64).astype(np.float32) * 1e3
+        np.testing.assert_array_equal(V.vector_in(V.vector_out(x)), x)
+
+    def test_vector_in_error_parity(self):
+        with pytest.raises(ValueError, match="malformed vector literal"):
+            V.vector_in("1,2,3")
+        with pytest.raises(ValueError, match="malformed vector literal"):
+            V.vector_in("[1,,2]")
+        with pytest.raises(ValueError, match="malformed vector literal"):
+            V.vector_in("[1,two]")
+        with pytest.raises(ValueError, match="at least 1 dimension"):
+            V.vector_in("[]")
+        with pytest.raises(ValueError, match="NaN not allowed"):
+            V.vector_in("[nan]")
+        with pytest.raises(ValueError, match="infinite value not allowed"):
+            V.vector_in("[inf]")
+        with pytest.raises(ValueError, match="infinite value not allowed"):
+            V.vector_in("[1e40]")  # overflows float32
+        with pytest.raises(ValueError, match="more than 16000 dimensions"):
+            V.vector_in("[" + ",".join(["0"] * 16001) + "]")
+        with pytest.raises(ValueError, match="expected 3 dimensions, not 2"):
+            V.vector_in("[1,2]", dim=3)
+
+    def test_halfvec_text_io(self):
+        h = V.halfvec_in("[1,2.5,0.1]")
+        assert h.dtype.name == "bfloat16"
+        # 0.1 rounds through bf16; output prints the stored value
+        s = V.halfvec_out(h)
+        np.testing.assert_array_equal(V.halfvec_in(s), h)
+
 
 class TestBitOps:
     def test_pack_and_hamming(self):

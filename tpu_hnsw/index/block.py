@@ -842,6 +842,16 @@ class BlockHnswIndex:
             n = x.shape[0]
             finite = None
         t1 = _time.perf_counter()
+        if n == 0:
+            # CREATE INDEX on an empty table succeeds upstream; the
+            # __init__ state is a valid empty index (adds spill to the
+            # tail; the first compact() packs them into blocks)
+            self.build_stats = {
+                "prep_s": round(t1 - t0, 3), "cluster_pack_s": 0.0,
+                "install_s": 0.0, "device_resident_input": x is None,
+                "total_s": round(t1 - t0, 3), "vectors_per_sec": 0.0,
+            }
+            return self
         bids = self._pack(x, kmeans_iters, xj=xj, n=n)
         t2 = _time.perf_counter()
         self._install_blocks(x, bids, n, xj=xj)
@@ -1052,11 +1062,11 @@ class BlockHnswIndex:
         """Async device-resident search. Returns (distances, ids) device
         arrays in pgvector operator units; missing ids are -1."""
         validate_ef_search(max(ef_search, 1))
-        if self.n_blocks == 0:
+        if self.n_blocks == 0 and not self.tail_n:
             raise ValueError("index is empty")
         if probes is None:
             probes = self.probes_for_ef(max(ef_search, k))
-        probes = max(1, min(probes, self.n_blocks))
+        probes = max(1, min(probes, max(self.n_blocks, 1)))
         if isinstance(queries, jax.Array) and queries.ndim == 2:
             # device-resident queries: no host round-trip (serving batches
             # slice a resident device array; the fabric upload otherwise
@@ -1084,6 +1094,15 @@ class BlockHnswIndex:
                     [x, np.zeros((qpad - nq, x.shape[1]), x.dtype)]
                 )
             qj = jnp.asarray(x)
+        if self.n_blocks == 0:
+            # packed store empty (e.g. fully compacted away, or every row
+            # arrived via the spill tail): serve from the tail alone
+            q_sq = D.squared_norms(qj)
+            sc, ids = _scan_tail(
+                self.tail, self.tail_sq, self.tail_ids, qj, q_sq,
+                k=k, metric=self.cfg.metric,
+            )
+            return D.score_to_distance(sc[:nq], self.cfg.metric), ids[:nq]
         if (probes >= self.n_blocks
                 and self.n_blocks > self.EXHAUSTIVE_SCAN_MIN_BLOCKS):
             # exhaustive probes on a big store: STREAM the whole blocked

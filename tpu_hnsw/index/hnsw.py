@@ -86,10 +86,48 @@ class HnswIndex:
                 self.capacity = max(needed, 1024)
             self.graph = G.init_graph(self.cfg, self.capacity)
         if self.n + needed > self.capacity:
-            raise ValueError(
-                f"index capacity {self.capacity} exceeded "
-                f"(have {self.n}, adding {needed}); set max_elements larger"
-            )
+            # upstream INSERTs never fail on index capacity (Postgres
+            # appends pages); flat arrays grow geometrically instead. An
+            # explicit ``max_elements`` reloption stays a hard cap.
+            hard = int(self.cfg.max_elements or 0)
+            if hard and self.n + needed > hard:
+                raise ValueError(
+                    f"index max_elements {hard} exceeded "
+                    f"(have {self.n}, adding {needed})"
+                )
+            self.grow(max(2 * self.capacity, self.n + needed))
+
+    def grow(self, new_capacity: int) -> None:
+        """Re-allocate device arrays for a larger capacity (the page-append
+        analogue of upstream index growth). All live rows, adjacency, and
+        tombstones are preserved; sentinel ids — which equal the old
+        capacity by the trash-row convention (index/graph.py) — are
+        re-pointed to the new capacity."""
+        new_capacity = int(new_capacity)
+        if self.graph is None:
+            self.capacity = max(self.capacity, new_capacity)
+            return
+        g = self.graph
+        old_cap, old_cap_u = g.cap, g.cap_upper
+        if new_capacity <= old_cap:
+            return
+        fresh = G.init_graph(self.cfg, new_capacity)
+        sent_new = jnp.int32(new_capacity)
+        nbr0 = jnp.where(g.neighbors0 == old_cap, sent_new, g.neighbors0)
+        upn = jnp.where(g.upper_nbrs == old_cap, sent_new, g.upper_nbrs)
+        ups = jnp.where(
+            g.upper_slot == old_cap_u, jnp.int32(fresh.cap_upper), g.upper_slot
+        )
+        self.graph = fresh._replace(
+            vectors=fresh.vectors.at[:old_cap].set(g.vectors[:old_cap]),
+            vectors_sq=fresh.vectors_sq.at[:old_cap].set(g.vectors_sq[:old_cap]),
+            neighbors0=fresh.neighbors0.at[:old_cap].set(nbr0[:old_cap]),
+            upper_nbrs=fresh.upper_nbrs.at[:old_cap_u].set(upn[:old_cap_u]),
+            upper_slot=fresh.upper_slot.at[:old_cap].set(ups[:old_cap]),
+            levels=fresh.levels.at[:old_cap].set(g.levels[:old_cap]),
+            deleted=fresh.deleted.at[:old_cap].set(g.deleted[:old_cap]),
+        )
+        self.capacity = new_capacity
 
     def _draw_levels(self, count: int) -> np.ndarray:
         """Geometric level assignment, upstream HnswInitElement:
@@ -275,7 +313,8 @@ class HnswIndex:
 
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
                       expand: int | None = None,
-                      descent_ef: int | None = None):
+                      descent_ef: int | None = None,
+                      max_steps: int = 0):
         """Device-resident search: dispatches asynchronously and returns
         (distances, ids) as device arrays (operator units; sentinel id for
         missing). Use for pipelined serving — no host sync per call.
@@ -324,6 +363,7 @@ class HnswIndex:
             expand=self.cfg.expand_per_step if expand is None else expand,
             descent_ef=(self.cfg.descent_ef if descent_ef is None
                         else descent_ef),
+            max_steps=max_steps,
         )
         return D.score_to_distance(scores[:nq], self.cfg.metric), ids[:nq]
 
@@ -335,6 +375,7 @@ class HnswIndex:
         return_distances: bool = True,
         expand: int | None = None,
         descent_ef: int | None = None,
+        max_steps: int = 0,
     ):
         """ORDER BY distance LIMIT k analogue (hnswscan GetScanItems).
 
@@ -342,7 +383,8 @@ class HnswIndex:
         results carry id -1 and distance +inf.
         """
         dists, ids = self.search_device(queries, k=k, ef_search=ef_search,
-                                        expand=expand, descent_ef=descent_ef)
+                                        expand=expand, descent_ef=descent_ef,
+                                        max_steps=max_steps)
         dists, ids = jax.device_get((dists, ids))
         ids = np.where(ids == self.graph.sentinel, -1, ids)
         if not return_distances:

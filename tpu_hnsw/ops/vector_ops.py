@@ -3,9 +3,11 @@
 Python equivalents of the reference's SQL functions and operators over
 dense vectors (upstream ``pgvector:src/vector.c`` / ``sql/vector.sql``):
 distances (`<->` `<#>` `<=>` `<+>`), arithmetic (`+ - *`, concat), norms,
-``l2_normalize``, ``binary_quantize``, ``subvector``, and the ``avg``/
-``sum`` aggregates. Batched over leading axes and jit-safe; input
-validation mirrors upstream error text (dim mismatch, NaN/Inf rejection).
+``l2_normalize``, ``binary_quantize``, ``subvector``, the ``avg``/
+``sum`` aggregates, and the ``'[1,2,3]'`` text I/O (``vector_in`` /
+``vector_out`` / halfvec analogues). Batched over leading axes and
+jit-safe; input validation mirrors upstream error text (dim mismatch,
+NaN/Inf rejection, malformed literals, dim limits).
 """
 
 from __future__ import annotations
@@ -133,3 +135,82 @@ def vector_avg(x, axis: int = 0):
 def vector_sum(x, axis: int = 0):
     """``sum`` aggregate over a set of vectors."""
     return jnp.sum(jnp.asarray(x).astype(jnp.float32), axis=axis)
+
+
+# --------------------------------------------------------------- text I/O
+# The type-input/output half of the reference's ``vector`` type (upstream
+# ``vector_in`` / ``vector_out`` in ``pgvector:src/vector.c``): the
+# ``'[1,2,3]'`` literal format with the same validation and error wording.
+# ``halfvec`` analogues round through bf16 (the storage dtype here; bf16
+# shares f32's exponent range, so unlike fp16 the conversion itself cannot
+# overflow to infinity).
+
+import numpy as _np
+
+
+def vector_in(s: str, dim: int | None = None) -> _np.ndarray:
+    """Parse a ``'[1,2,3]'`` vector literal (``vector_in`` analogue).
+
+    ``dim`` plays the role of the typmod: when given, the parsed vector
+    must have exactly that many dimensions.
+    """
+    raw = s
+    t = s.strip()
+    if not t.startswith("[") or not t.endswith("]"):
+        raise ValueError(f'malformed vector literal: "{raw}"')
+    inner = t[1:-1].strip()
+    if not inner:
+        raise ValueError("vector must have at least 1 dimension")
+    parts = inner.split(",")
+    vals = _np.empty(len(parts), _np.float32)
+    for i, p in enumerate(parts):
+        p = p.strip()
+        if not p:
+            raise ValueError(f'malformed vector literal: "{raw}"')
+        try:
+            v = float(p)
+        except ValueError:
+            raise ValueError(f'malformed vector literal: "{raw}"') from None
+        if _np.isnan(v):
+            raise ValueError("NaN not allowed in vector")
+        with _np.errstate(over="ignore"):  # f32 overflow -> inf, checked
+            if _np.isinf(v) or _np.isinf(_np.float32(v)):
+                raise ValueError("infinite value not allowed in vector")
+        vals[i] = v
+    if len(vals) > MAX_DIM:
+        raise ValueError(
+            f"vector cannot have more than {MAX_DIM} dimensions"
+        )
+    if dim is not None and len(vals) != dim:
+        raise ValueError(f"expected {dim} dimensions, not {len(vals)}")
+    return vals
+
+
+def _fmt_f32(x) -> str:
+    # shortest decimal that round-trips through float32 (upstream uses Ryu
+    # float_to_shortest_decimal, so '1.0' prints as '1')
+    return _np.format_float_positional(_np.float32(x), unique=True, trim="-")
+
+
+def vector_out(v) -> str:
+    """Format a vector as the ``'[1,2,3]'`` literal (``vector_out``
+    analogue; shortest round-trip decimals like upstream's
+    float_to_shortest_decimal)."""
+    v = _np.asarray(v, _np.float32).reshape(-1)
+    return "[" + ",".join(_fmt_f32(x) for x in v) + "]"
+
+
+def halfvec_in(s: str, dim: int | None = None) -> _np.ndarray:
+    """Parse a halfvec literal into the bf16 storage dtype."""
+    import ml_dtypes
+
+    v = vector_in(s, dim=dim)
+    h = v.astype(ml_dtypes.bfloat16)
+    if not _np.isfinite(h.astype(_np.float32)).all():
+        raise ValueError("infinite value not allowed in halfvec")
+    return h
+
+
+def halfvec_out(v) -> str:
+    v = _np.asarray(v).astype(_np.float32).reshape(-1)
+    return "[" + ",".join(_fmt_f32(x) for x in v) + "]"

@@ -124,6 +124,12 @@ class PartitionedHnswIndex:
         self._local_of = np.zeros(0, np.int32)
         self.n = 0
 
+    def _part_rows(self, p: int) -> int:
+        """Searchable rows in partition p (block engine: packed + tail)."""
+        sub = self.parts[p]
+        return sub.n + (getattr(sub, "tail_live", 0) if self.engine == "block"
+                        else 0)
+
     # ----------------------------------------------------------------- build
     def build(self, data, mesh: Mesh | None = None) -> "PartitionedHnswIndex":
         """Build all partitions. With ``mesh`` given (or ``mesh="auto"``),
@@ -214,7 +220,7 @@ class PartitionedHnswIndex:
         all_i = np.full((nq, self.p, k), -1, np.int64)
         for p in range(self.p):
             mask = (routes == p).any(axis=1)
-            if not mask.any() or self.parts[p].n == 0:
+            if not mask.any() or self._part_rows(p) == 0:
                 continue
             d, ids = self.parts[p].search(queries[mask], k=k,
                                           ef_search=ef_search, **sub_kw)
@@ -245,8 +251,8 @@ class PartitionedHnswIndex:
         across partitions for every metric, so the merge is a plain
         top-k."""
         ds, gs = [], []
-        for sub in self.parts:
-            if sub.n == 0:
+        for p, sub in enumerate(self.parts):
+            if self._part_rows(p) == 0:
                 continue
             kw = ({"probes": probes} if self.engine == "block"
                   else {"descent_ef": descent_ef})
@@ -303,7 +309,8 @@ class PartitionedHnswIndex:
         # full stable partition ranking per query (hash: all partitions)
         routes_full = self.router.route(queries, self.p)  # [Q, <=P]
         fetch = k if predicate is None else min(max(4 * k, 2 * k), 1000)
-        max_fetch = min(1000, max(fetch, max(p.n for p in self.parts)))
+        max_fetch = min(1000, max(fetch,
+                                  max(self._part_rows(p) for p in range(self.p))))
         out_d = np.full((nq, k), np.inf, np.float32)
         out_i = np.full((nq, k), -1, np.int64)
         done = np.zeros(nq, bool)
@@ -314,9 +321,9 @@ class PartitionedHnswIndex:
             cur_routes = routes_full[:, :r]  # [Q, r]
             for p in range(self.p):
                 mask = (cur_routes == p).any(axis=1) & ~done
-                if not mask.any() or self.parts[p].n == 0:
+                if not mask.any() or self._part_rows(p) == 0:
                     continue
-                kk = min(fetch, self.parts[p].n)
+                kk = min(fetch, self._part_rows(p))
                 d, ids = self.parts[p].search(
                     queries[mask], k=kk, ef_search=max(ef_search, kk)
                 )
@@ -353,6 +360,80 @@ class PartitionedHnswIndex:
             if predicate is not None:
                 fetch = min(2 * fetch, max_fetch)
         return out_d, out_i
+
+    # ------------------------------------------------------------------- dml
+    def add(self, data) -> np.ndarray:
+        """INSERT analogue for the partitioned index (upstream inserts into
+        a partitioned table land in one partition's index): each row routes
+        to its owning partition — hash: by global id; centroid: nearest
+        centroid, the same rule as build — and is inserted into that
+        sub-index (graph engine: wave insert; block engine: spill tail).
+        Returns global ids."""
+        if not self.parts:
+            raise ValueError("build() the partitioned index before add()")
+        data = np.asarray(data, np.float32)
+        if data.ndim == 1:
+            data = data[None, :]
+        count = data.shape[0]
+        gids = self.n + np.arange(count, dtype=np.int32)
+        assign = np.asarray(self.router.assign(data, gids), np.int32)
+        self._part_of = np.concatenate([self._part_of, assign])
+        self._local_of = np.concatenate(
+            [self._local_of, np.zeros(count, np.int32)]
+        )
+        for p in range(self.p):
+            rows = np.where(assign == p)[0]
+            if not rows.size:
+                continue
+            sub = self.parts[p]
+            loc = np.asarray(sub.add(data[rows]), np.int64)
+            # extend the local->global map (block-engine local ids can
+            # reuse the id-space high-water mark after delete+compact, so
+            # this is a grow-and-assign, not a pure append)
+            gmap = np.asarray(sub._global_ids, np.int32)
+            need = int(loc.max()) + 1
+            if need > len(gmap):
+                gmap = np.concatenate(
+                    [gmap, np.full(need - len(gmap), -1, np.int32)]
+                )
+            gmap[loc] = gids[rows]
+            sub._global_ids = gmap
+            sub.__dict__.pop("_global_ids_dev", None)  # device copy is stale
+            self._local_of[gids[rows]] = loc.astype(np.int32)
+        self.n += count
+        return gids
+
+    def delete(self, ids) -> None:
+        """DELETE analogue: tombstone global ids in their owning
+        partitions (repair/reclaim at :meth:`compact`)."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        ids = ids[(ids >= 0) & (ids < len(self._part_of))]
+        if not ids.size:
+            return
+        owners = self._part_of[ids]
+        for p in np.unique(owners):
+            self.parts[p].delete(self._local_of[ids[owners == p]])
+            self.parts[p].__dict__.pop("_global_ids_dev", None)
+
+    def compact(self) -> None:
+        """VACUUM analogue: repair (graph engine) / re-pack (block engine)
+        every partition that has tombstones or spill-tail rows. Sub-index
+        compaction preserves local ids, so the global-id maps stay valid.
+        Fully-deleted partitions are left as-is (their tombstones mask
+        every result) — there is no live row to re-anchor a repair on."""
+        for sub in self.parts:
+            if self.engine == "block":
+                live = sub.n + getattr(sub, "tail_live", 0)
+                dead = (sub.n_total - sub.n) + (sub.tail_n - sub.tail_live)
+                if live > 0 and (dead > 0 or sub.tail_n > 0):
+                    sub.compact()
+            else:
+                if sub.n == 0 or sub.graph is None:
+                    continue
+                deleted = np.asarray(sub.graph.deleted[: sub.n])
+                if deleted.any() and not deleted.all():
+                    sub.compact()
+            sub.__dict__.pop("_global_ids_dev", None)
 
     # ------------------------------------------------------------------ mesh
     def sharded(self, mesh: Mesh | None = None):
