@@ -178,10 +178,24 @@ def main():
             if g_recall >= target_recall:
                 g_dce, g_ef, g_exp = dce, ef, exp
                 break
+        # lockstep-tail clamp (benchmarks/graph_tail.json): the while-loop
+        # runs until the SLOWEST query terminates; hops are mean ~7 / max
+        # ~11 at this operating point, so clamping max_steps near the mean
+        # cuts straggler steps for ~0 recall (+11% QPS measured). Pick the
+        # smallest clamp that matches unclamped recall; 0 = no clamp.
+        g_steps = 0
+        for ms in (8, 9, 11, 15):
+            _, c_ids = gidx.search(queries, k=10, ef_search=g_ef,
+                                   expand=g_exp, descent_ef=g_dce,
+                                   max_steps=ms)
+            c_recall = recall_at_k(c_ids, gt, 10)
+            if c_recall >= max(g_recall - 1e-3, target_recall):
+                g_steps = ms
+                break
         g_stats = {}
         g_qps, g_ids = measure_qps(gidx, queries, 10, g_ef, pipeline=2,
                                    stats_out=g_stats, expand=g_exp,
-                                   descent_ef=g_dce)
+                                   descent_ef=g_dce, max_steps=g_steps)
         graph_extra = {
             "hnsw_graph_qps": round(float(g_qps), 1),
             "hnsw_graph_recall": round(
@@ -189,6 +203,7 @@ def main():
             "hnsw_graph_ef": g_ef,
             "hnsw_graph_descent_ef": g_dce,
             "hnsw_graph_expand": g_exp,
+            "hnsw_graph_max_steps": g_steps,
             "hnsw_graph_build_s": round(g_build_s, 1),
             "hnsw_graph_bytes_per_element": gidx.stats()[
                 "bytes_per_element"],
