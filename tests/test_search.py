@@ -86,3 +86,74 @@ def test_search_layer_returns_sorted(oracle_graph):
     pd = np.asarray(pool_d)
     assert np.all(np.diff(pd, axis=1) >= 0)
     assert np.asarray(pool_i).max() < g.cap
+
+
+# ---------------------------------------------------------------- scan routing
+def test_scan_seeds_are_upper_level_elements(oracle_graph):
+    """Dense-scan routing (search.py::scan_seeds) must seed only from the
+    level>=1 subset — the same elements greedy descent can reach."""
+    base, queries, cfg, ref, g = oracle_graph
+    from tpu_hnsw.index.search import scan_seeds
+
+    levels = np.asarray(g.levels[: len(base)])
+    upper = np.where(levels >= 1)[0]
+    upad = max(-(-len(upper) // 256) * 256, 256)
+    upper_ids = jnp.asarray(
+        np.concatenate(
+            [upper, np.full(upad - len(upper), g.sentinel)]
+        ).astype(np.int32)
+    )
+    seeds = np.asarray(
+        scan_seeds(g, jnp.asarray(queries), upper_ids, descent_ef=4,
+                   metric=cfg.metric)
+    )
+    ok = set(upper.tolist()) | {g.sentinel}
+    assert all(int(s) in ok for s in seeds.ravel())
+    # and the seeds are the EXACT nearest upper elements (exhaustive
+    # routing beats greedy descent by construction)
+    d = ((queries[:, None, :] - base[upper][None, :, :]) ** 2).sum(-1)
+    best = upper[np.argsort(d, axis=1)[:, :1]]
+    assert (seeds[:, :1] == best).all()
+
+
+def test_route_scan_recall_not_worse_than_descent():
+    """Serving with route="scan" must match route="descent" recall on a
+    built index (exhaustive upper routing is strictly stronger)."""
+    from tpu_hnsw.index.flat import FlatIndex
+    from tpu_hnsw.index.hnsw import HnswIndex
+
+    base, queries = synthetic_clustered(4000, 24, n_queries=64, seed=9)
+    cfg = HnswConfig(dim=24, m=8, ef_construction=32, seed=2)
+    idx = HnswIndex(cfg, capacity=4000)
+    idx.build(base)
+    gt = FlatIndex(base, cfg.metric).search(queries, k=10)[1]
+    _, i_desc = idx.search(queries, k=10, ef_search=40, route="descent")
+    _, i_scan = idx.search(queries, k=10, ef_search=40, route="scan",
+                           descent_ef=8)
+    r_desc = recall_at_k(i_desc, gt, 10)
+    r_scan = recall_at_k(i_scan, gt, 10)
+    assert r_scan >= r_desc - 0.01
+    # auto on a small graph keeps the descent (oracle-parity) path
+    _, i_auto = idx.search(queries, k=10, ef_search=40, route="auto")
+    assert (i_auto == i_desc).all()
+
+
+def test_route_cache_invalidates_on_mutation():
+    """The cached upper-id table must refresh when the graph mutates
+    (add of new level>=1 elements reroutes through them)."""
+    from tpu_hnsw.index.hnsw import HnswIndex
+
+    base, _ = synthetic_clustered(1200, 16, n_queries=1, seed=7)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, seed=3,
+                     wave_size=128)
+    idx = HnswIndex(cfg, capacity=1200)
+    idx.build(base[:800])
+    ids1 = idx._upper_ids_dev()
+    n_up1 = idx.n_upper
+    idx.add(base[800:])
+    ids2 = idx._upper_ids_dev()
+    assert idx.n_upper > n_up1
+    live2 = int((np.asarray(ids2) != idx.graph.sentinel).sum())
+    assert live2 == idx.n_upper
+    live1 = int((np.asarray(ids1) != idx.graph.sentinel).sum())
+    assert live1 == n_up1

@@ -27,6 +27,16 @@ from tpu_hnsw.index import graph as G
 from tpu_hnsw.index import search as SE
 from tpu_hnsw.ops import distance as D
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "size"))
+def _upper_ids_jit(levels, cap: int, size: int):
+    """ids of level>=1 elements, sentinel-padded to ``size`` (sorted
+    ascending; the dense-scan routing subset — see search.py::scan_seeds)."""
+    return jnp.nonzero(levels[:cap] >= 1, size=size,
+                       fill_value=cap)[0].astype(jnp.int32)
+
 
 class HnswIndex:
     def __init__(self, config: HnswConfig, capacity: int | None = None):
@@ -297,6 +307,35 @@ class HnswIndex:
             self.entry_level = wave_max
 
     # ---------------------------------------------------------------- search
+    # auto route picks the dense upper-subset scan at/above this n_upper:
+    # small graphs keep upstream's greedy descent (the oracle-parity path;
+    # at test scale both are fast), big serving graphs take the MXU scan
+    # (measured 275ms -> ~5ms per 4096-query chunk at 1M, profile_beam.py)
+    ROUTE_SCAN_MIN_UPPER = 4096
+
+    def _upper_ids_dev(self):
+        """Sentinel-padded device array of level>=1 element ids, cached
+        per graph epoch (every mutation replaces ``self.graph``, so object
+        identity is the epoch key)."""
+        cache = getattr(self, "_route_cache", None)
+        if cache is not None and cache[0] is self.graph:
+            return cache[1]
+        upad = max(-(-self.n_upper // 256) * 256, 256)
+        ids = _upper_ids_jit(self.graph.levels, self.graph.cap, upad)
+        self._route_cache = (self.graph, ids)
+        return ids
+
+    def _resolve_route(self, route: str) -> jax.Array | None:
+        """None -> greedy descent; device id array -> dense-scan routing."""
+        if route not in ("auto", "scan", "descent"):
+            raise ValueError("route must be auto, scan, or descent")
+        if route == "descent" or self.cfg.metric is Metric.L1 \
+                or self.n_upper == 0:
+            return None
+        if route == "auto" and self.n_upper < self.ROUTE_SCAN_MIN_UPPER:
+            return None
+        return self._upper_ids_dev()
+
     def _entry_scalars(self):
         """Device-resident (entry, entry_level) scalars, cached until the
         entry point changes: an eager jnp.int32() measured ~10.7ms per
@@ -314,7 +353,7 @@ class HnswIndex:
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
                       expand: int | None = None,
                       descent_ef: int | None = None,
-                      max_steps: int = 0):
+                      max_steps: int = 0, route: str = "auto"):
         """Device-resident search: dispatches asynchronously and returns
         (distances, ids) as device arrays (operator units; sentinel id for
         missing). Use for pipelined serving — no host sync per call.
@@ -323,7 +362,12 @@ class HnswIndex:
         ``expand_per_step``/``descent_ef`` per call (serving knobs, like
         ef_search — wider expand trades distance evals for fewer lockstep
         steps, which on this fabric is usually a QPS win at equal
-        recall)."""
+        recall). ``route`` picks the upper-level routing: "descent" =
+        upstream's greedy pointer-chase (ef=descent_ef), "scan" = dense
+        MXU scan of the level>=1 subset (exhaustive routing, measured
+        ~50x cheaper at 1M — see index/search.py::scan_seeds), "auto" =
+        scan for big graphs, descent for small ones (and always for L1,
+        which has no matmul form)."""
         validate_ef_search(ef_search)
         if self.graph is None or self.n == 0:
             raise ValueError("index is empty")
@@ -364,6 +408,7 @@ class HnswIndex:
             descent_ef=(self.cfg.descent_ef if descent_ef is None
                         else descent_ef),
             max_steps=max_steps,
+            upper_ids=self._resolve_route(route),
         )
         return D.score_to_distance(scores[:nq], self.cfg.metric), ids[:nq]
 
@@ -376,6 +421,7 @@ class HnswIndex:
         expand: int | None = None,
         descent_ef: int | None = None,
         max_steps: int = 0,
+        route: str = "auto",
     ):
         """ORDER BY distance LIMIT k analogue (hnswscan GetScanItems).
 
@@ -384,14 +430,15 @@ class HnswIndex:
         """
         dists, ids = self.search_device(queries, k=k, ef_search=ef_search,
                                         expand=expand, descent_ef=descent_ef,
-                                        max_steps=max_steps)
+                                        max_steps=max_steps, route=route)
         dists, ids = jax.device_get((dists, ids))
         ids = np.where(ids == self.graph.sentinel, -1, ids)
         if not return_distances:
             return ids
         return np.asarray(dists), ids
 
-    def search_with_stats(self, queries, k: int = 10, ef_search: int = 40):
+    def search_with_stats(self, queries, k: int = 10, ef_search: int = 40,
+                          route: str = "auto"):
         """Search + per-query observability counters (SURVEY §5 metrics:
         hops/query, distance-evals/query — the EXPLAIN ANALYZE buffer-hits
         analogue). Returns (distances, ids, stats dict)."""
@@ -415,6 +462,7 @@ class HnswIndex:
             expand=self.cfg.expand_per_step,
             descent_ef=self.cfg.descent_ef,
             with_counters=True,
+            upper_ids=self._resolve_route(route),
         )
         dists = D.score_to_distance(scores[:nq], self.cfg.metric)
         dists, ids, hops, evals = jax.device_get((dists, ids[:nq],

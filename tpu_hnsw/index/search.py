@@ -383,6 +383,62 @@ def search_resume(
     )
 
 
+def _scan_seeds_body(
+    g: G.HnswGraph,
+    q: jax.Array,
+    upper_ids: jax.Array,
+    descent_ef: int,
+    metric: Metric,
+) -> jax.Array:
+    """Dense MXU routing over the level>=1 subset — the TPU-native
+    alternative to greedy upper-level descent.
+
+    The upper HNSW layers are a routing structure built for sequential
+    pointer-chasing machines; on TPU the same ~n/m element subset is
+    routed better by ONE dense matmul + top-k (measured: greedy descent
+    through 4 upper levels costs 275ms per 4096-query chunk at 1M —
+    70% of total search time — vs ~5ms for the dense scan, see
+    scripts/profile_beam.py). Exhaustive routing over the subset is
+    strictly stronger than ef=1..8 greedy descent (it finds the global
+    nearest level>=1 elements), so recall can only improve vs upstream's
+    descent (``HnswSearchLayer`` with ef=1, pgvector:src/hnswutils.c).
+
+    q: [Q, d] storage dtype; upper_ids: [U] int32 ids of level>=1
+    elements, sentinel-padded. Returns seed ids [Q, descent_ef].
+    """
+    v, v_sq = G.gather_vectors(g, upper_ids)  # [U, d], [U]
+    if metric is Metric.L1:
+        raise NotImplementedError("L1 routing has no matmul form")
+    dots = jax.lax.dot_general(
+        q, v.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.L2:
+        q_sq = D.squared_norms(q)
+        sc = q_sq[:, None] + v_sq[None, :] - 2.0 * dots
+    else:  # IP / cosine (vectors pre-normalized)
+        sc = -dots
+    sc = jnp.where(upper_ids[None, :] == g.sentinel, INF, sc)
+    _, ti = T.topk_smallest_fast(sc, min(descent_ef, sc.shape[1]))
+    return jnp.take(upper_ids, ti)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("descent_ef", "metric")
+)
+def scan_seeds(
+    g: G.HnswGraph,
+    q: jax.Array,
+    upper_ids: jax.Array,
+    *,
+    descent_ef: int = 8,
+    metric: Metric = Metric.L2,
+) -> jax.Array:
+    """Jit entry point for :func:`_scan_seeds_body` (tests/tools)."""
+    return _scan_seeds_body(g, q.astype(g.vectors.dtype), upper_ids,
+                            descent_ef, metric)
+
+
 def _descend_body(
     g: G.HnswGraph,
     q: jax.Array,
@@ -463,6 +519,44 @@ def _search_jit(
     return pool_d[:, :k], pool_i[:, :k]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "ef", "expand", "max_steps", "metric", "descent_ef",
+        "with_counters",
+    ),
+)
+def _search_scan_jit(
+    g: G.HnswGraph,
+    queries: jax.Array,
+    upper_ids: jax.Array,
+    *,
+    k: int,
+    ef: int,
+    expand: int,
+    max_steps: int,
+    metric: Metric,
+    descent_ef: int = 8,
+    with_counters: bool = False,
+):
+    """Full search with dense-scan routing instead of greedy descent:
+    one MXU matmul over the level>=1 subset seeds the level-0 beam."""
+    q = queries.astype(g.vectors.dtype)
+    with jax.named_scope("route_scan"):
+        seeds = _scan_seeds_body(g, q, upper_ids, descent_ef, metric)
+    with jax.named_scope("beam_level0"):
+        out = _search_layer_body(
+            g, q, seeds, 0, level0=True, ef=ef, expand=expand,
+            max_steps=max_steps, metric=metric, skip_deleted=True,
+            mask_deleted_results=True, with_counters=with_counters,
+        )
+    if with_counters:
+        pool_d, pool_i, hops, evals = out
+        return pool_d[:, :k], pool_i[:, :k], hops, evals
+    pool_d, pool_i = out
+    return pool_d[:, :k], pool_i[:, :k]
+
+
 def search(
     g: G.HnswGraph,
     queries: jax.Array,
@@ -476,9 +570,11 @@ def search(
     max_steps: int = 0,
     descent_ef: int = 1,
     with_counters: bool = False,
+    upper_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Full query search (upstream hnswscan.c GetScanItems): greedy descent
-    through upper levels then an ef_search-bounded level-0 beam — one
+    """Full query search (upstream hnswscan.c GetScanItems): upper-level
+    routing (greedy descent, or a dense scan of the level>=1 subset when
+    ``upper_ids`` is given) then an ef_search-bounded level-0 beam — one
     compiled program per (Q, ef, k) bucket.
 
     Returns (scores [Q, k] ascending, ids [Q, k]); internal score units
@@ -491,6 +587,19 @@ def search(
         # margin covers slow-converging tail queries without letting the
         # lockstep batch run long after everyone is done
         max_steps = ef // max(expand, 1) + 16
+    if upper_ids is not None and metric is not Metric.L1:
+        return _search_scan_jit(
+            g,
+            queries,
+            upper_ids,
+            k=k,
+            ef=ef,
+            expand=expand,
+            max_steps=max_steps,
+            metric=metric,
+            descent_ef=max(descent_ef, 1),
+            with_counters=with_counters,
+        )
     return _search_jit(
         g,
         queries,
