@@ -15,10 +15,12 @@ from tpu_hnsw.index.ivf import IvfFlatIndex
 from tpu_hnsw.ops.bitops import BinaryFlatIndex
 from tpu_hnsw.ops.sparse import SparseFlatIndex, SparseVecs
 from tpu_hnsw.parallel.partition import PartitionedHnswIndex
+from tpu_hnsw.planner import EnginePlan, HardwareModel, choose_engine
 
 __all__ = [
     "HnswConfig", "Metric", "FlatIndex", "HnswIndex", "BlockHnswIndex",
     "IvfFlatIndex", "PartitionedHnswIndex", "SparseVecs", "SparseFlatIndex",
-    "BinaryHnswIndex", "BinaryFlatIndex",
+    "BinaryHnswIndex", "BinaryFlatIndex", "choose_engine", "EnginePlan",
+    "HardwareModel",
 ]
 __version__ = "0.3.0"
