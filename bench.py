@@ -161,36 +161,33 @@ def main():
         t0 = time.perf_counter()
         gidx = HnswIndex(cfg).build(base)
         g_build_s = time.perf_counter() - t0
-        # (descent_ef, ef_search, expand) ladder, cheapest first — tuned
-        # on the 1M clustered shape (benchmarks/graph_tuning*.json).
-        # Bulk-built graphs have pure-kNN level-0 adjacency, so the
-        # single-seed descent of upstream's ef=1 loop strands basins
-        # (recall ceiling 0.75 at ef=200 measured in r3); a descent beam
-        # of 8 costs ~nothing and lifts the ceiling to 0.98. expand=4
-        # quarters the lockstep step count at equal recall.
-        ladder = [(8, 24, 4), (8, 40, 4), (8, 64, 4), (8, 96, 2),
-                  (8, 128, 1), (8, 200, 1)]
-        g_dce, g_ef, g_exp, g_recall = *ladder[-1], 0.0
-        for dce, ef, exp in ladder:
+        # operating points, cheapest first: (descent_ef/seeds, ef_search,
+        # expand, max_steps) — the (seeds, steps) frontier measured in
+        # benchmarks/route_scan2.json. Under route=auto the 1M graph
+        # routes by dense upper-level scan, where seeds are the top-N
+        # nearest upper elements and the level-0 beam needs only ~4-7
+        # gather steps (each step is Q*expand*2m random row gathers, THE
+        # cost — ~50M rows/s regardless of bytes); small graphs keep the
+        # upstream-faithful greedy descent where descent_ef is the beam.
+        # Bulk-built graphs have pure-kNN level-0 adjacency, so
+        # single-seed ef=1 descent strands basins (recall ceiling 0.75
+        # measured in r3) — every point carries a multi-seed router.
+        # max_steps=0 = run to convergence (the lockstep tail,
+        # benchmarks/graph_tail.json).
+        ladder = [(16, 16, 4, 4), (8, 16, 4, 5), (8, 24, 4, 6),
+                  (8, 24, 4, 7), (8, 40, 4, 9), (8, 64, 4, 0),
+                  (8, 128, 1, 0), (8, 200, 1, 0)]
+        g_dce, g_ef, g_exp, g_steps, g_recall = *ladder[-1], 0.0
+        # 0.005 selection margin: selection and measurement use the same
+        # full query set, but the measured pass re-runs the program and
+        # CV is ~1-3% — a point sitting exactly at the gate could flap.
+        for dce, ef, exp, ms in ladder:
             _, g_ids = gidx.search(queries, k=10, ef_search=ef,
-                                   expand=exp, descent_ef=dce)
-            g_recall = recall_at_k(g_ids, gt, 10)
-            if g_recall >= target_recall:
-                g_dce, g_ef, g_exp = dce, ef, exp
-                break
-        # lockstep-tail clamp (benchmarks/graph_tail.json): the while-loop
-        # runs until the SLOWEST query terminates; hops are mean ~7 / max
-        # ~11 at this operating point, so clamping max_steps near the mean
-        # cuts straggler steps for ~0 recall (+11% QPS measured). Pick the
-        # smallest clamp that matches unclamped recall; 0 = no clamp.
-        g_steps = 0
-        for ms in (8, 9, 11, 15):
-            _, c_ids = gidx.search(queries, k=10, ef_search=g_ef,
-                                   expand=g_exp, descent_ef=g_dce,
+                                   expand=exp, descent_ef=dce,
                                    max_steps=ms)
-            c_recall = recall_at_k(c_ids, gt, 10)
-            if c_recall >= max(g_recall - 1e-3, target_recall):
-                g_steps = ms
+            g_recall = recall_at_k(g_ids, gt, 10)
+            if g_recall >= target_recall + 0.005:
+                g_dce, g_ef, g_exp, g_steps = dce, ef, exp, ms
                 break
         g_stats = {}
         g_qps, g_ids = measure_qps(gidx, queries, 10, g_ef, pipeline=2,
