@@ -163,6 +163,31 @@ class TestIvfFlat:
         d2, i2 = idx2.search(queries, k=5, probes=4)
         assert (i1 == i2).all()
 
+    def test_search_device_matches_host(self):
+        import jax.numpy as jnp
+
+        base, queries = synthetic_clustered(5000, 16, n_queries=40, seed=29)
+        idx = IvfFlatIndex(dim=16, lists=50, seed=1).build(base)
+        d1, i1 = idx.search(queries, k=10, probes=8)
+        d2, i2 = idx.search_device(jnp.asarray(queries), k=10,
+                                   ef_search=40, probes=8)
+        d2, i2 = np.asarray(d2), np.asarray(i2)
+        # set-equality per row (host normalizes in numpy, device in f32;
+        # exact near-ties may swap adjacent ranks) + distance parity
+        for a, b in zip(i1, i2):
+            assert set(a.tolist()) == set(b.tolist())
+        assert np.allclose(np.sort(d1, 1), np.sort(d2, 1), atol=1e-4)
+
+    def test_search_device_sees_added_rows(self):
+        import jax.numpy as jnp
+
+        base, _ = synthetic_clustered(2000, 8, n_queries=1, seed=5)
+        idx = IvfFlatIndex(dim=8, lists=16, seed=2).build(base[:1000])
+        new_ids = idx.add(base[1000:1100])
+        _, i = idx.search_device(jnp.asarray(base[1000:1004]), k=1,
+                                 probes=16)
+        assert np.asarray(i).ravel().tolist() == new_ids[:4].tolist()
+
     def test_lists_range(self):
         with pytest.raises(ValueError):
             IvfFlatIndex(dim=8, lists=0)

@@ -97,6 +97,15 @@ class IvfFlatIndex:
         # the live count instead silently overwrote live rows after a
         # mid-list delete (ADVICE r2 #1).
         self._cursor: np.ndarray | None = None
+        # device-resident centroid table, invalidated on mutation: an
+        # eager jnp.asarray costs ~10ms of fabric latency per call,
+        # which would dominate every probe-scan dispatch
+        self._cdev = None
+
+    def _centroids_device(self):
+        if self._cdev is None:
+            self._cdev = jnp.asarray(self.centroids)
+        return self._cdev
 
     def build(self, data) -> "IvfFlatIndex":
         data = np.asarray(data, np.float32)
@@ -111,6 +120,7 @@ class IvfFlatIndex:
         self.centroids, assign = KM.kmeans(
             data, self.lists, iters=10, seed=self.seed, sample=max(10000, 50 * self.lists)
         )
+        self._cdev = None
         counts = np.bincount(assign, minlength=self.lists)
         maxlen = max(8, int(counts.max()))
         # pad to a lane-friendly multiple
@@ -147,7 +157,7 @@ class IvfFlatIndex:
             data = data / np.maximum(
                 np.linalg.norm(data, axis=1, keepdims=True), 1e-12
             )
-        c = jnp.asarray(self.centroids)
+        c = self._centroids_device()
         assign = np.asarray(
             jnp.argmin(D.pairwise_scores(jnp.asarray(data), c, Metric.L2), axis=1),
             np.int64,
@@ -201,7 +211,7 @@ class IvfFlatIndex:
         d, i = _probe_search(
             self.vecs_by_list,
             self.ids_by_list,
-            jnp.asarray(self.centroids),
+            self._centroids_device(),
             jnp.asarray(q),
             k,
             probes,
@@ -211,6 +221,27 @@ class IvfFlatIndex:
             np.asarray(D.score_to_distance(d, self.metric)),
             np.asarray(i),
         )
+
+    def search_device(self, queries, k: int = 10, ef_search: int = 0,
+                      probes: int = IVF_DEFAULT_PROBES):
+        """Device-resident probe scan: ``queries`` is a jax array already
+        on device; returns device arrays without syncing, so a serving
+        loop can pipeline batches (the ``measure_qps`` contract).
+        ``ef_search`` is accepted-and-ignored for harness uniformity —
+        the IVF scan width is ``probes`` (upstream ``ivfflat.probes``)."""
+        if self.centroids is None:
+            raise ValueError("index is empty")
+        del ef_search
+        probes = max(1, min(probes, self.lists))
+        q = queries
+        if self.metric.needs_normalized:
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        d, i = _probe_search(
+            self.vecs_by_list, self.ids_by_list, self._centroids_device(),
+            q, k, probes, self.metric,
+        )
+        return D.score_to_distance(d, self.metric), i
 
     def search_iterative(self, queries, k: int = 10,
                          probes: int = IVF_DEFAULT_PROBES, predicate=None,
