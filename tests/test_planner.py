@@ -36,11 +36,15 @@ class TestCostModel:
         # and the measured ordering holds
         assert block > flat > graph
 
-    def test_dispatch_floor_dominates_tiny_corpora(self):
-        # at 1k rows everything is dispatch-bound; estimates converge
+    def test_flat_wins_tiny_corpora(self):
+        # at 1k rows the flat scan is dispatch-bound and nearly free,
+        # while block expansion still pays its gather intermediate —
+        # the planner must pick the exact scan
         flat = estimate_flat_qps(1_000, 128)
         block = estimate_block_qps(1_000, 128)
-        assert abs(flat - block) / flat < 0.5
+        assert flat > 2 * block
+        plan = choose_engine(1_000, 128)
+        assert plan.engine == "flat"
 
 
 class TestStructureScore:

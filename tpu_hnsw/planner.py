@@ -11,8 +11,10 @@ the TPU engines, priced on the measured hardware model of
   graph traversal is priced by rows touched;
 - effective dense-scan rate: ~2.4e13 MAC/s f32 *end-to-end* (the flat
   exact scan measures 93k QPS at 1M×128, i.e. 2·n·d MACs per query
-  including top-k + exact rerank overheads); int8 stage-1 scans run
-  ~2.3× that (block engine measured 212k QPS at the same shape);
+  including top-k + exact rerank overheads);
+- block expansion: XLA materializes the [batch, probes, S, d] gather of
+  probed blocks, so the stage is bandwidth-bound on writing + re-reading
+  that intermediate (~120 GB/s effective, int8 scoring copy);
 - per-dispatch fabric latency ~2 ms — small batches are dispatch-bound.
 
 Like upstream's estimator, these are *relative* costs for picking a
@@ -20,7 +22,7 @@ plan, not wall-clock promises: the constants default to the values
 measured on this fabric and are overridable (``HardwareModel``) or
 re-measurable on the live device (:func:`calibrate`). At the round-3
 operating points the model reproduces all three measured 1M×128 numbers
-within ~15% (flat 90k est / 93k meas; block 187k / 212k; graph 36k /
+within ~15% (flat 90k est / 93k meas; block 204k / 212k; graph 36k /
 32k).
 
 The one decision upstream's planner cannot make — "will the ANN engine
@@ -52,7 +54,7 @@ class HardwareModel:
 
     gather_rows_per_s: float = 50e6  # random row gather, row-bound
     f32_macs_per_s: float = 2.4e13   # end-to-end dense scan incl. top-k
-    int8_speedup: float = 2.3        # stage-1 int8 scan vs f32 (measured)
+    expand_bytes_per_s: float = 120e9  # block-expansion gather intermediate
     dispatch_s: float = 2e-3         # per-program fabric dispatch
     step_overhead_s: float = 5e-3    # per beam step: pool top-k, masks
 
@@ -78,13 +80,24 @@ def estimate_flat_qps(n: int, dim: int, *, batch: int = 4096,
 
 def estimate_block_qps(n: int, dim: int, *, probes: int = 8,
                        block_size: int = 256, batch: int = 4096,
+                       rerank: int = 32, stage1_itemsize: int = 1,
                        hw: HardwareModel = HardwareModel()) -> float:
-    """Blocked-engine cost: int8 stage-1 scan over all rows (dense
-    [batch, n] matmul in the scoring copy's dtype) + per-query expansion
-    of ``probes`` contiguous blocks reranked exactly in f32."""
-    stage1 = batch * 2.0 * n * dim / (hw.f32_macs_per_s * hw.int8_speedup)
-    rerank = batch * 2.0 * probes * block_size * dim * 2 / hw.f32_macs_per_s
-    t = stage1 + rerank + hw.dispatch_s
+    """Blocked-engine cost, matching the engine's real structure
+    (index/block.py): (1) dense centroid routing — a [batch, n_blocks]
+    f32 matmul; (2) expansion of ``probes`` blocks per query from the
+    int8 scoring copy — XLA materializes the [batch, probes, S, d]
+    gather, so this stage is bandwidth-bound on writing + re-reading
+    that intermediate (the measured ~120 GB/s; the Pallas fused kernel
+    in ops/pallas_expand.py is the documented alternative); (3) exact
+    f32 rerank of the ``rerank`` stage-1 survivors (MAC-priced,
+    negligible)."""
+    n_blocks = max(1, -(-n // block_size))
+    probes = max(1, min(probes, n_blocks))
+    route = batch * 2.0 * n_blocks * dim / hw.f32_macs_per_s
+    expand = batch * probes * block_size * dim * stage1_itemsize * 2 \
+        / hw.expand_bytes_per_s
+    rr = batch * 2.0 * rerank * dim * 2 / hw.f32_macs_per_s
+    t = route + expand + rr + hw.dispatch_s
     return batch / t
 
 
