@@ -11,6 +11,17 @@ overhead per 64KB block — batching TQ*p DMAs per grid step amortizes it)
 and writes back only the ``[Q, p, S]`` f32 scores: every byte read is a
 candidate scored, nothing is written but the answer.
 
+Status: measured alternative, NOT the production path. The idle-chip
+shootout at the headline shape (1M x 128, Q=4096, p=8, S=256 —
+scripts/microbench_expand.py, benchmarks/expand_shootout.json) puts the
+XLA int8 gather+einsum at 9.4ms, XLA bf16 at 13.0ms, and this kernel
+(bf16) at 24.2ms: XLA's gather pipeline beats the hand-scheduled DMAs
+2.6x in steady state, so index/block.py keeps the XLA path. The kernel's
+earlier win (11ms vs 309ms) reproduced only under heavy host contention,
+where the XLA intermediate's HBM traffic serialized. Correctness:
+interpret-mode parity vs the XLA expansion math in
+tests/test_pallas_kernels.py::test_pallas_expand_score_matches_xla.
+
 Layout contract: ``blocks`` last dim a multiple of 128 lanes (the index
 stores the scoring copy lane-padded; zero-padding changes neither dots
 nor norms), S a multiple of the dtype sublane tile (256 default is fine).
@@ -37,7 +48,10 @@ def _mk_kernel(l2: bool, TQ: int, p: int, S: int, dp: int, dtype):
 
         def dmas(t):
             qi, pj = t // p, t % p
-            b = bids_ref[g * TQ + qi, pj]
+            # bids is flattened to 1-D [Q*p]: SMEM pads the trailing dim
+            # of scalar-prefetch operands to 128 lanes, so a [Q, p] layout
+            # would cost Q*128*4 bytes and blow the 1MB SMEM at Q=4096
+            b = bids_ref[(g * TQ + qi) * p + pj]
             return (
                 pltpu.make_async_copy(
                     blocks_hbm.at[b], blk_scr.at[t], sem_b.at[t]
@@ -121,7 +135,8 @@ def expand_score(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Q, p, 1, S), jnp.float32),
         interpret=interpret,
-    )(bids, blocks, blocks_sq.reshape(B, 1, S), block_ids.reshape(B, 1, S),
+    )(bids.reshape(-1), blocks, blocks_sq.reshape(B, 1, S),
+      block_ids.reshape(B, 1, S),
       q.astype(jnp.float32).reshape(Q, 1, dp),
       q_sq.astype(jnp.float32).reshape(Q, 1, 1))
     return out.reshape(Q, p, S)
