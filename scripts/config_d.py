@@ -3,13 +3,20 @@
 
 10M x 96-d inner-product, 8-way HASH-partitioned on ONE chip: verifies
 routed query + global top-k merge correctness at scale and measures QPS.
-Partitions are BlockHnswIndex shards; the merge runs on device
-(PartitionedHnswIndex.search_device) so a batch pays one upload/download
-regardless of partition count.
+Partitions are BlockHnswIndex shards served through ShardedBlockSearcher
+on a 1-DEVICE mesh: local_p = 8, so the whole fan-out (route -> expand
+-> rerank per partition) plus the global top-k merge compiles into ONE
+program and a batch costs one dispatch. The host-loop fan-out this
+replaced paid 8 dispatches plus per-batch host routing (~9ms/partition
+of fabric latency) and measured 14.3k QPS at ef=16 — the dispatch tax,
+not the search. Equivalence of the two paths is pinned by
+tests/test_partition.py::test_sharded_block_single_device_multi_partition.
 
-Memory check: 10M x 96 f32 blocks = 3.84 GB + ids/centroids — fits a
-single v5e chip's HBM with room for the query pipeline (recorded in the
-artifact from live device stats).
+Memory check: 10M x 96 f32 blocks = 3.84 GB + int8 scoring copy; the
+stacked serving state duplicates the per-shard arrays, so the shard
+copies are RELEASED after assembly (release_parts_device_state) —
+peak ~10.4 GB during assembly, ~5.2 GB steady (recorded in the artifact
+from live device stats).
 
 Writes benchmarks/config_d.json.
 """
@@ -68,20 +75,23 @@ def main():
     pidx.build(base)
     build_s = time.perf_counter() - t0
 
+    # one-device mesh: the 8-partition fan-out + merge as ONE program
+    sh = pidx.sharded(jax.make_mesh((1,), ("shard",)))
+    sh.release_parts_device_state()  # drop the duplicate shard HBM copies
+
     rows = []
     for ef in (16, 32, 64, 128):
-        probes = pidx.parts[0].probes_for_ef(ef)
+        probes = sh.probes_for_ef(ef)
         st = {}
-        # 1024-query chunks: per-dispatch fabric latency (~2ms) x 8+
-        # shard dispatches dominates small batches; two chunks in flight
-        # bound the [chunk, p, S, d] gather intermediates
-        qps, ids = measure_qps(pidx, queries, 10, ef, probes=probes,
+        # 1024-query chunks; two in flight bound the [chunk, p, S, d]
+        # gather intermediates (x8 partitions inside the program)
+        qps, ids = measure_qps(sh, queries, 10, ef, probes=probes,
                                pipeline=2, stats_out=st)
         if (st.get("qps_cv") or 0) > 0.10:
             # r2 shipped an ef=16 point at CV 0.19 — re-measure with
             # double-length windows until the <=10% bar holds
             st = {}
-            qps, ids = measure_qps(pidx, queries, 10, ef, probes=probes,
+            qps, ids = measure_qps(sh, queries, 10, ef, probes=probes,
                                    pipeline=2, stats_out=st, repeats=16,
                                    min_window_s=1.0)
         rows.append({
@@ -106,9 +116,12 @@ def main():
         "n": n, "dim": dim, "metric": "ip",
         "partitions": n_parts, "router": "hash",
         "engine": "hnsw-block", "block_size": 256,
+        "serving": "ShardedBlockSearcher on a 1-device mesh (local_p=8: "
+        "fan-out + merge in ONE program per batch)",
         "build_s": round(build_s, 1),
         "build_vectors_per_sec": round(n / build_s, 1),
         "device_memory": mem,
+        "serving_memory": sh.stats(),
         "sweep": rows,
     }
     os.makedirs("benchmarks", exist_ok=True)

@@ -238,6 +238,52 @@ def test_sharded_block_matches_host_loop(data):
     assert st["n"] == len(base) and st["memory_total_bytes"] > 0
 
 
+def test_sharded_block_single_device_multi_partition(data):
+    """Config D's serving shape: MANY partitions on ONE device. A 1-device
+    mesh makes local_p = P, so the whole fan-out + merge compiles into a
+    single program (vs P host-loop dispatches per batch). Must match the
+    host-loop fan-out and the 8-device mesh exactly at exhaustive probes,
+    and device-resident batches must route on device (no host round
+    trip) with identical results."""
+    import jax.numpy as jnp
+
+    base, queries, gt = data
+    cfg = HnswConfig(**CFG)
+    pidx = PartitionedHnswIndex(
+        cfg, n_partitions=4, router="hash", engine="block", block_size=64
+    )
+    pidx.build(base)
+    sh1 = pidx.sharded(jax.make_mesh((1,), ("shard",)))
+    probes = max(s.n_blocks for s in pidx.parts)
+    d_host, i_host = pidx.search_device(queries, k=10, ef_search=64,
+                                        probes=probes)
+    i_host = np.asarray(i_host)
+    d_one, i_one = sh1.search(queries, k=10, probes=probes, route_k=4)
+    same = sum(
+        set(a.tolist()) == set(b.tolist()) for a, b in zip(i_host, i_one)
+    )
+    assert same >= int(0.95 * len(i_host)), f"only {same} rows match"
+    assert recall_at_k(i_one, gt, 10) >= 0.999
+    # device-resident batch: same results through the device-routing path
+    d_dev, i_dev = sh1.search_device(jnp.asarray(queries), k=10,
+                                     probes=probes, route_k=4)
+    np.testing.assert_array_equal(np.asarray(i_dev), i_one)
+    # centroid router: device routing == host routing on a routed subset
+    cidx = PartitionedHnswIndex(
+        cfg, n_partitions=4, router="centroid", engine="block", block_size=64
+    )
+    cidx.build(base)
+    shc = cidx.sharded(jax.make_mesh((1,), ("shard",)))
+    _, i_h = shc.search(queries, k=10, ef_search=64, route_k=2)
+    _, i_d = shc.search_device(jnp.asarray(queries), k=10, ef_search=64,
+                               route_k=2)
+    np.testing.assert_array_equal(np.asarray(i_d), i_h)
+    # releasing the per-shard device copies keeps the stacked searcher alive
+    sh1.release_parts_device_state()
+    _, i_after = sh1.search(queries, k=10, probes=probes, route_k=4)
+    np.testing.assert_array_equal(i_after, i_one)
+
+
 def test_sharded_block_refuses_uncompacted_tail(data):
     base, _, _ = data
     cfg = HnswConfig(**CFG)

@@ -103,6 +103,10 @@ class HnswConfig:
     seed: int = 0
 
     def __post_init__(self):
+        if isinstance(self.metric, str):
+            # accept the SQL-ish spelling ("l2", "cosine", ...) so the
+            # engines' `config.metric is Metric.X` checks stay exact
+            object.__setattr__(self, "metric", Metric(self.metric))
         if not (0 < self.dim <= MAX_DIM):
             raise ValueError(f"dim must be in [1, {MAX_DIM}], got {self.dim}")
         if not (HNSW_MIN_M <= self.m <= HNSW_MAX_M):

@@ -795,6 +795,60 @@ class ShardedBlockSearcher:
         )
         self._max_blocks = max(s.n_blocks for s in parts)
         self._fn_cache = {}
+        # device-side routing state (see _routes_device): hash routes are
+        # a per-batch-shape constant; centroid routes are one tiny jitted
+        # top-k over the router's centroid table
+        self._hash_routes_cache = {}
+        self._router_centroids_dev = None
+        self._route_dev_fns = {}
+
+    def release_parts_device_state(self) -> None:
+        """Drop the per-shard device arrays once the stacked serving state
+        exists — they are the same bytes twice. One-chip many-partition
+        serving (config D: 10M rows as 8 stacked shards) cannot afford
+        both copies in HBM. The parent index keeps its host-side metadata
+        (global-id maps, counts), but its per-shard ``search``/DML paths
+        stop working until the shards are rebuilt or reloaded."""
+        for sub in self.parent.parts:
+            for name in ("blocks", "blocks_score", "blocks_sq", "block_ids",
+                         "centroids", "centroids_sq", "score_scale",
+                         "_flat_exact"):
+                if hasattr(sub, name):
+                    setattr(sub, name, None)
+
+    def _routes_device(self, qj, route_k):
+        """[Q, R] int32 route table computed WITHOUT leaving the device.
+
+        The host-side router path costs a query download (~27ms fabric
+        round-trip) plus a routes upload per batch — more than the whole
+        stacked search program at config-D scale. Hash routing does not
+        depend on query values (every partition is selected), so it is a
+        cached per-shape constant; centroid routing is one [Q, P] matmul
+        + top-k, jitted and cached per (Q, route_k)."""
+        p = self.parent.p
+        router = self.parent.router
+        if isinstance(router, CentroidRouter):
+            r = min(route_k or p, p)
+            if self._router_centroids_dev is None:
+                self._router_centroids_dev = jnp.asarray(
+                    np.asarray(router.centroids, np.float32))
+            key = (qj.shape[0], r)
+            fn = self._route_dev_fns.get(key)
+            if fn is None:
+                def route_fn(q, cents):
+                    sc = D.pairwise_scores(q, cents, Metric.L2)
+                    return T.topk_smallest(sc, r)[1].astype(jnp.int32)
+
+                fn = jax.jit(route_fn)
+                self._route_dev_fns[key] = fn
+            return fn(qj, self._router_centroids_dev)
+        key = (qj.shape[0], p)
+        routes = self._hash_routes_cache.get(key)
+        if routes is None:
+            routes = jax.block_until_ready(jnp.tile(
+                jnp.arange(p, dtype=jnp.int32), (qj.shape[0], 1)))
+            self._hash_routes_cache[key] = routes
+        return routes
 
     def probes_for_ef(self, ef_search: int) -> int:
         """Per-shard probe count for an ef (same mapping as the host-loop
@@ -886,19 +940,21 @@ class ShardedBlockSearcher:
         cfg = self.parent.cfg
         if probes is None:
             probes = self.probes_for_ef(max(ef_search, k))
+        route_k = self.parent.route_k if route_k is None else route_k
         if isinstance(queries, jax.Array) and queries.ndim == 2:
+            # device-resident serving batch: routing stays on device too
+            # (a host round-trip per batch costs more than the search)
             qj = queries.astype(jnp.float32)
             if cfg.metric.needs_normalized:
                 qj = D.l2_normalize(qj)
-            qh = np.asarray(qj)  # router runs host-side
+            routes = self._routes_device(qj, route_k)
         else:
             qh = np.asarray(queries, np.float32)
             if cfg.metric.needs_normalized:
                 nrm = np.linalg.norm(qh, axis=1, keepdims=True)
                 qh = qh / np.maximum(nrm, 1e-12)
             qj = jnp.asarray(qh)
-        route_k = self.parent.route_k if route_k is None else route_k
-        routes = self.parent.router.route(qh, route_k)
+            routes = jnp.asarray(self.parent.router.route(qh, route_k))
         key = (k, probes, routes.shape[1], merge)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_fn(
@@ -907,8 +963,7 @@ class ShardedBlockSearcher:
         fn = self._fn_cache[key]
         return fn(self.blocks, self.blocks_score, self.blocks_sq,
                   self.block_gids, self.centroids, self.centroids_sq,
-                  self.n_blocks, self.score_scales, qj,
-                  jnp.asarray(routes))
+                  self.n_blocks, self.score_scales, qj, routes)
 
     def search(self, queries, k: int = 10, ef_search: int = 40,
                probes: int | None = None, route_k: int | None = None,
