@@ -13,6 +13,7 @@ from tpu_hnsw.index.flat import FlatIndex
 from tpu_hnsw.index.hnsw import HnswIndex
 from tpu_hnsw.index.ivf import IvfFlatIndex
 from tpu_hnsw.ops.bitops import BinaryFlatIndex
+from tpu_hnsw.index.sparse_ann import SparseHnswIndex
 from tpu_hnsw.ops.sparse import SparseFlatIndex, SparseVecs
 from tpu_hnsw.parallel.partition import PartitionedHnswIndex
 from tpu_hnsw.planner import EnginePlan, HardwareModel, choose_engine
@@ -20,6 +21,7 @@ from tpu_hnsw.planner import EnginePlan, HardwareModel, choose_engine
 __all__ = [
     "HnswConfig", "Metric", "FlatIndex", "HnswIndex", "BlockHnswIndex",
     "IvfFlatIndex", "PartitionedHnswIndex", "SparseVecs", "SparseFlatIndex",
+    "SparseHnswIndex",
     "BinaryHnswIndex", "BinaryFlatIndex", "choose_engine", "EnginePlan",
     "HardwareModel",
 ]

@@ -3,8 +3,11 @@
 The SURVEY §1.3 L1 "fused gather -> distance" kernel, specialized to the
 blocked level 0 (index/block.py). The XLA expansion path materializes the
 gathered blocks as a ``[Q, p, S, d]`` HBM intermediate (write + re-read —
-measured 129 GB/s effective on v5e, and at config-D scale the in-flight
-intermediates oversubscribe HBM and serialize the pipeline). This kernel
+129 GB/s effective measured at the shootout shape below; the planner's
+``HardwareModel.expand_bytes_per_s`` anchors the same stage at a
+conservative 120e9 across shapes and is the single cost-model constant —
+at config-D scale the in-flight intermediates oversubscribe HBM and
+serialize the pipeline). This kernel
 streams each query's selected blocks HBM->VMEM exactly once with manual
 multi-slot async DMA (per-step Pallas grid copies cost ~0.85us of scalar
 overhead per 64KB block — batching TQ*p DMAs per grid step amortizes it)

