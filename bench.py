@@ -58,7 +58,21 @@ def main():
     from tpu_hnsw.utils.recall import recall_at_k
 
     data_dir = os.environ.get("TPU_HNSW_DATA")
-    if data_dir and n >= 1_000_000:
+    # Named real-data hook (VERDICT r3 #9): TPU_HNSW_BENCH_DATASET may be a
+    # BASELINE.json config name; the expected files under $TPU_HNSW_DATA
+    # are <name>_base.fvecs / <name>_query.fvecs / <name>_groundtruth.ivecs
+    # (see io/datasets.load_or_synthesize). With the files present, every
+    # number below regenerates on real data with one env var; without
+    # them, an equivalently-shaped synthetic stand-in is used.
+    if synth in ("sift10k", "sift1m", "glove100", "deep10m"):
+        base, queries, _ = load_or_synthesize(synth, data_dir)
+        n, dim = base.shape
+        queries = queries[:n_queries]
+        n_queries = len(queries)
+        real = bool(data_dir) and os.path.exists(
+            os.path.join(data_dir, f"{synth}_base.fvecs"))
+        dataset = synth if real else f"{synth}-synthetic-standin"
+    elif data_dir and n >= 1_000_000:
         base, queries, _ = load_or_synthesize("sift1m", data_dir)
         base, queries = base[:n], queries[:n_queries]
         dataset = "sift1m"

@@ -158,6 +158,10 @@ def cmd_bench(args):
         os.environ["TPU_HNSW_BENCH_N"] = str(args.n)
     if args.dim:
         os.environ["TPU_HNSW_BENCH_D"] = str(args.dim)
+    if getattr(args, "dataset", None):
+        os.environ["TPU_HNSW_BENCH_DATASET"] = args.dataset
+    if getattr(args, "data_dir", None):
+        os.environ["TPU_HNSW_DATA"] = args.data_dir
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -212,6 +216,16 @@ def main(argv=None):
     n = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     n.add_argument("--n", type=int, default=0)
     n.add_argument("--dim", type=int, default=0)
+    n.add_argument(
+        "--dataset", default=None,
+        choices=["clustered", "uniform", "sift10k", "sift1m", "glove100",
+                 "deep10m"],
+        help="named BASELINE config (reads <name>_base.fvecs / "
+        "<name>_query.fvecs / <name>_groundtruth.ivecs under --data-dir "
+        "or $TPU_HNSW_DATA; synthesizes an equivalently-shaped stand-in "
+        "when the files are absent)")
+    n.add_argument("--data-dir", default=None,
+                   help="directory holding the real fvecs/ivecs files")
     n.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -103,7 +103,7 @@ def _all_finite(x):
 
 
 def _expand_blocks_body(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
-                        k: int, metric: Metric):
+                        k: int, metric: Metric, allowed=None):
     """Score every row of each query's selected blocks, return top-k.
 
     blocks [B, S, d] (storage dtype), blocks_sq [B, S] f32,
@@ -131,6 +131,10 @@ def _expand_blocks_body(blocks, blocks_sq, block_ids, q, q_sq, bids, *,
         sc = jnp.maximum(q_sq[:, None, None] + gsq - 2.0 * dots, 0.0)
     else:  # IP / COSINE (pre-normalized)
         sc = -dots
+    if allowed is not None:
+        # device-side filtered scan (VERDICT r3 #5): disallowed slots
+        # never survive, the same mechanism as dead/pad rows
+        sc = jnp.where(jnp.take(allowed, bids, axis=0), sc, INF)
     flat_sc = jnp.where(ids < 0, INF, sc).reshape(Q, p * S)
     flat_ids = ids.reshape(Q, p * S)
     vals, sel = T.topk_smallest_fast(flat_sc, k)
@@ -147,7 +151,8 @@ _expand_blocks = jax.jit(
 
 def _expand_blocks_2stage_body(blocks_score, blocks_sq, block_ids, flat_exact,
                                q, q_sq, bids, *, k: int, rerank: int,
-                               metric: Metric, score_scale=None):
+                               metric: Metric, score_scale=None,
+                               allowed=None):
     """Two-stage block expansion: bf16/int8 scan + exact rerank.
 
     Stage 1 scores the selected blocks from a reduced-precision copy
@@ -196,6 +201,11 @@ def _expand_blocks_2stage_body(blocks_score, blocks_sq, block_ids, flat_exact,
         sc = jnp.maximum(q_sq[:, None, None] + gsq - 2.0 * dots, 0.0)
     else:
         sc = -dots
+    if allowed is not None:
+        # filtered scan: mask stage 1 so survivors are allowed rows; the
+        # short-fill guard below re-masks stage 2 (when fewer than r
+        # allowed rows exist, top-r still returns disallowed positions)
+        sc = jnp.where(jnp.take(allowed, bids, axis=0), sc, INF)
     flat_sc = jnp.where(ids < 0, INF, sc).reshape(Q, p * S)
     r = min(rerank, p * S)
     _, sel = T.topk_smallest_fast(flat_sc, r)          # [Q, r] positions
@@ -215,6 +225,10 @@ def _expand_blocks_2stage_body(blocks_score, blocks_sq, block_ids, flat_exact,
     else:
         sc2 = -dots2
     sc2 = jnp.where(cand_ids < 0, INF, sc2)
+    if allowed is not None:
+        al1 = jnp.take_along_axis(
+            jnp.take(allowed, bids, axis=0).reshape(Q, p * S), sel, axis=1)
+        sc2 = jnp.where(al1, sc2, INF)
     vals, sel2 = T.topk_smallest(sc2, k)
     out_ids = jnp.where(
         jnp.isfinite(vals), jnp.take_along_axis(cand_ids, sel2, axis=1), -1
@@ -233,7 +247,8 @@ _expand_blocks_2stage = jax.jit(
                      "to_distance"),
 )
 def _serve_exact(blocks, blocks_score, blocks_sq, block_ids, centroids,
-                 c_sq, n_blocks, q, score_scale=None, *, k: int, probes: int,
+                 c_sq, n_blocks, q, score_scale=None, allowed=None, *,
+                 k: int, probes: int,
                  rerank: int, metric: Metric, two_stage: bool,
                  to_distance: bool = False):
     """The whole exact-routing serving step as ONE compiled program:
@@ -254,11 +269,12 @@ def _serve_exact(blocks, blocks_score, blocks_sq, block_ids, centroids,
                 blocks_score, blocks_sq, block_ids,
                 blocks.reshape(-1, blocks.shape[-1]), q, q_sq, bids,
                 k=k, rerank=rerank, metric=metric, score_scale=score_scale,
+                allowed=allowed,
             )
         else:
             sc, ids = _expand_blocks_body(
                 blocks, blocks_sq, block_ids, q, q_sq, bids, k=k,
-                metric=metric,
+                metric=metric, allowed=allowed,
             )
     if to_distance:
         # operator units computed in-program: the eager conversion after
@@ -317,7 +333,8 @@ def _route_exact_sorted(centroids, c_sq, q, q_sq, n_blocks, *, p: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _scan_tail(tail, tail_sq, tail_ids, q, q_sq, *, k: int, metric: Metric):
+def _scan_tail(tail, tail_sq, tail_ids, q, q_sq, allowed_tail=None, *,
+               k: int, metric: Metric):
     """Exact scan of the spill tail [T, d] (T is small)."""
     dots = jax.lax.dot_general(
         q.astype(tail.dtype), tail.T, (((1,), (0,)), ((), ())),
@@ -328,6 +345,8 @@ def _scan_tail(tail, tail_sq, tail_ids, q, q_sq, *, k: int, metric: Metric):
     else:
         sc = -dots
     sc = jnp.where((tail_ids < 0)[None, :], INF, sc)
+    if allowed_tail is not None:
+        sc = jnp.where(allowed_tail[None, :], sc, INF)
     kk = min(k, tail.shape[0])
     vals, sel = T.topk_smallest(sc, kk)
     ids = jnp.where(jnp.isfinite(vals), jnp.take(tail_ids, sel), -1)
@@ -1057,10 +1076,50 @@ class BlockHnswIndex:
             self._n_blocks_dev, p=probes, metric=self.cfg.metric,
         )
 
+    def _filter_device(self, filter_mask):
+        """(allowed_slots [B, S], allowed_tail [T_pad] | None) device
+        masks from a per-id filter (bool mask of length >= id space, or an
+        id list). Cached by mask object identity so a serving loop passing
+        the same mask per batch pays the conversion once (VERDICT r3 #5:
+        the filter must not cost a host round-trip per batch)."""
+        cache = getattr(self, "_filter_cache", None)
+        key = (id(filter_mask), self.n_total, self.tail_n)
+        if cache is not None and cache[0] == key:
+            return cache[1], cache[2]
+        self._ensure_slot()
+        hi = max(len(self._slot_of) if self._slot_of is not None else 0, 1)
+        m = np.asarray(filter_mask)
+        full = np.zeros(hi, bool)
+        if m.dtype == bool:
+            ln = min(m.reshape(-1).shape[0], hi)
+            full[:ln] = m.reshape(-1)[:ln]
+        else:
+            ids = m.reshape(-1).astype(np.int64)
+            ids = ids[(ids >= 0) & (ids < hi)]
+            full[ids] = True
+        mdev = jnp.asarray(full)
+        slots = jax.jit(
+            lambda mk, bi: jnp.take(mk, jnp.clip(bi, 0), axis=0) & (bi >= 0)
+        )(mdev, self.block_ids)
+        tailm = None
+        if self.tail_n and self.tail_ids is not None:
+            tailm = jax.jit(
+                lambda mk, ti: jnp.take(mk, jnp.clip(ti, 0)) & (ti >= 0)
+            )(mdev, self.tail_ids)
+        self._filter_cache = (key, slots, tailm)
+        return slots, tailm
+
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
-                      probes: int | None = None):
+                      probes: int | None = None, filter_mask=None):
         """Async device-resident search. Returns (distances, ids) device
-        arrays in pgvector operator units; missing ids are -1."""
+        arrays in pgvector operator units; missing ids are -1.
+
+        ``filter_mask`` (bool mask / id list over element ids) runs the
+        filtered scan ON DEVICE: disallowed rows are masked in the
+        expansion kernels like dead rows (see _expand_blocks_2stage_body),
+        so filtering costs one fused mask gather instead of host-side
+        post-filtering. Selective filters want wider ``probes``/``ef`` —
+        see search_iterative for automatic widening."""
         validate_ef_search(max(ef_search, 1))
         if self.n_blocks == 0 and not self.tail_n:
             raise ValueError("index is empty")
@@ -1094,13 +1153,16 @@ class BlockHnswIndex:
                     [x, np.zeros((qpad - nq, x.shape[1]), x.dtype)]
                 )
             qj = jnp.asarray(x)
+        allowed_slots = allowed_tail = None
+        if filter_mask is not None:
+            allowed_slots, allowed_tail = self._filter_device(filter_mask)
         if self.n_blocks == 0:
             # packed store empty (e.g. fully compacted away, or every row
             # arrived via the spill tail): serve from the tail alone
             q_sq = D.squared_norms(qj)
             sc, ids = _scan_tail(
                 self.tail, self.tail_sq, self.tail_ids, qj, q_sq,
-                k=k, metric=self.cfg.metric,
+                allowed_tail, k=k, metric=self.cfg.metric,
             )
             return D.score_to_distance(sc[:nq], self.cfg.metric), ids[:nq]
         if (probes >= self.n_blocks
@@ -1110,7 +1172,7 @@ class BlockHnswIndex:
             # [B, S, dp] layout) — the per-query gather expansion would
             # read Q x corpus bytes (compiled a TB-sized intermediate at
             # config-E shard scale)
-            sc, ids = self._scan_all(qj, k)
+            sc, ids = self._scan_all(qj, k, allowed_slots=allowed_slots)
             q_sq = None
         elif not self._use_graph_routing():
             # fused single-dispatch serving program (norms+route+expand)
@@ -1118,7 +1180,7 @@ class BlockHnswIndex:
             sc, ids = _serve_exact(
                 self.blocks, self.blocks_score, self.blocks_sq,
                 self.block_ids, self.centroids, self.centroids_sq,
-                self._n_blocks_dev, qj, self.score_scale,
+                self._n_blocks_dev, qj, self.score_scale, allowed_slots,
                 k=k, probes=probes, rerank=max(self.rerank_width, k),
                 metric=self.cfg.metric, two_stage=self.two_stage,
                 to_distance=no_tail,
@@ -1136,18 +1198,19 @@ class BlockHnswIndex:
                     self.blocks.reshape(-1, self.cfg.dim), qj, q_sq, bids,
                     k=k, rerank=max(self.rerank_width, k),
                     metric=self.cfg.metric, score_scale=self.score_scale,
+                    allowed=allowed_slots,
                 )
             else:
                 sc, ids = _expand_blocks(
                     self.blocks, self.blocks_sq, self.block_ids, qj, q_sq,
-                    bids, k=k, metric=self.cfg.metric,
+                    bids, k=k, metric=self.cfg.metric, allowed=allowed_slots,
                 )
         if self.tail_n:
             if q_sq is None:
                 q_sq = D.squared_norms(qj)
             t_sc, t_ids = _scan_tail(
                 self.tail, self.tail_sq, self.tail_ids, qj, q_sq,
-                k=k, metric=self.cfg.metric,
+                allowed_tail, k=k, metric=self.cfg.metric,
             )
             sc, sel = T.topk_smallest(jnp.concatenate([sc, t_sc], axis=1), k)
             ids = jnp.take_along_axis(
@@ -1155,7 +1218,7 @@ class BlockHnswIndex:
             )
         return D.score_to_distance(sc[:nq], self.cfg.metric), ids[:nq]
 
-    def _scan_all(self, qj, k: int):
+    def _scan_all(self, qj, k: int, allowed_slots=None):
         """Exhaustive exact scan over the blocked store (streamed): bf16
         scoring-copy scan + exact rerank, global ids mapped through
         block_ids. Raw scores out; caller converts/merges."""
@@ -1172,8 +1235,11 @@ class BlockHnswIndex:
             qj, ((0, 0), (0, dp - qj.shape[1]))
         )
         cand = max(4 * k, self.rerank_width)
+        valid = self.block_ids >= 0
+        if allowed_slots is not None:
+            valid = valid & allowed_slots
         _, pos = FL._stream_search(
-            qp, scan_src, self.blocks_sq, self.block_ids >= 0,
+            qp, scan_src, self.blocks_sq, valid,
             cand, self.cfg.metric, jax.lax.Precision.DEFAULT, True,
         )
         flat_ids = self.block_ids.reshape(-1)
@@ -1189,9 +1255,10 @@ class BlockHnswIndex:
         return vals, jnp.where(jnp.isfinite(vals), ids, -1)
 
     def search(self, queries, k: int = 10, ef_search: int = 40,
-               probes: int | None = None, return_distances: bool = True):
+               probes: int | None = None, return_distances: bool = True,
+               filter_mask=None):
         d, i = self.search_device(queries, k=k, ef_search=ef_search,
-                                  probes=probes)
+                                  probes=probes, filter_mask=filter_mask)
         d, i = jax.device_get((d, i))
         if not return_distances:
             return np.asarray(i)

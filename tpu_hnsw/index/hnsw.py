@@ -350,13 +350,41 @@ class HnswIndex:
             )
         return self._entry_dev
 
+    def _filter_device(self, filter_mask) -> jax.Array:
+        """Device [cap+1] bool mask from a per-id filter (True = row
+        passes). Accepts a bool mask of length >= n, an id list, or an
+        already-shaped device array (returned as-is; cache it caller-side
+        for repeated filtered scans)."""
+        cap = self.graph.cap
+        if isinstance(filter_mask, jax.Array) and filter_mask.shape == (
+                cap + 1,):
+            return filter_mask
+        m = np.asarray(filter_mask)
+        full = np.zeros(cap + 1, bool)
+        if m.dtype == bool:
+            ln = min(len(m.reshape(-1)), cap)
+            full[:ln] = m.reshape(-1)[:ln]
+        else:  # id list
+            ids = m.reshape(-1).astype(np.int64)
+            ids = ids[(ids >= 0) & (ids < cap)]
+            full[ids] = True
+        return jnp.asarray(full)
+
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
                       expand: int | None = None,
                       descent_ef: int | None = None,
-                      max_steps: int = 0, route: str = "auto"):
+                      max_steps: int = 0, route: str = "auto",
+                      filter_mask=None):
         """Device-resident search: dispatches asynchronously and returns
         (distances, ids) as device arrays (operator units; sentinel id for
         missing). Use for pipelined serving — no host sync per call.
+
+        ``filter_mask`` enables the device-side filtered scan (upstream's
+        executor-filter analogue, VERDICT r3 #5): a bool mask / id list of
+        rows allowed in the results, fused into the beam's fresh mask (see
+        index/search.py). Selective filters need a wider ``ef_search`` to
+        find k passing rows — see ``search_iterative`` for automatic
+        widening.
 
         ``expand``/``descent_ef`` override the config's
         ``expand_per_step``/``descent_ef`` per call (serving knobs, like
@@ -409,6 +437,8 @@ class HnswIndex:
                         else descent_ef),
             max_steps=max_steps,
             upper_ids=self._resolve_route(route),
+            allowed=(None if filter_mask is None
+                     else self._filter_device(filter_mask)),
         )
         return D.score_to_distance(scores[:nq], self.cfg.metric), ids[:nq]
 
@@ -422,6 +452,7 @@ class HnswIndex:
         descent_ef: int | None = None,
         max_steps: int = 0,
         route: str = "auto",
+        filter_mask=None,
     ):
         """ORDER BY distance LIMIT k analogue (hnswscan GetScanItems).
 
@@ -430,7 +461,8 @@ class HnswIndex:
         """
         dists, ids = self.search_device(queries, k=k, ef_search=ef_search,
                                         expand=expand, descent_ef=descent_ef,
-                                        max_steps=max_steps, route=route)
+                                        max_steps=max_steps, route=route,
+                                        filter_mask=filter_mask)
         dists, ids = jax.device_get((dists, ids))
         ids = np.where(ids == self.graph.sentinel, -1, ids)
         if not return_distances:

@@ -80,13 +80,20 @@ class IvfFlatIndex:
         metric: Metric = Metric.L2,
         lists: int = IVF_DEFAULT_LISTS,
         seed: int = 0,
+        dtype: str = "float32",
     ):
         if lists < 1 or lists > 32768:
             raise ValueError("lists must be in [1, 32768]")  # upstream range
+        if dtype not in ("float32", "bfloat16"):
+            # halfvec IVFFlat parity (upstream indexes halfvec columns
+            # with ivfflat too; bf16 is this package's halfvec storage)
+            raise ValueError("dtype must be float32 or bfloat16")
         self.dim = dim
         self.metric = metric
         self.lists = lists
         self.seed = seed
+        self.dtype = dtype
+        self._jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.centroids: np.ndarray | None = None
         self.vecs_by_list = None  # [L, M, d]
         self.ids_by_list = None  # [L, M]
@@ -135,7 +142,7 @@ class IvfFlatIndex:
         slot = np.arange(n) - np.searchsorted(a_s, a_s)
         vecs[a_s, slot] = data[order]
         ids[a_s, slot] = order.astype(np.int32)
-        self.vecs_by_list = jnp.asarray(vecs)
+        self.vecs_by_list = jnp.asarray(vecs, dtype=self._jdt)
         self.ids_by_list = jnp.asarray(ids)
         self.n = n
         self.n_total = n
@@ -183,7 +190,7 @@ class IvfFlatIndex:
         slot = counts[a_s] + (np.arange(len(data)) - np.searchsorted(a_s, a_s))
         vecs_np[a_s, slot] = data[order]
         ids_np[a_s, slot] = new_ids[order]
-        self.vecs_by_list = jnp.asarray(vecs_np)
+        self.vecs_by_list = jnp.asarray(vecs_np, dtype=self._jdt)
         self.ids_by_list = jnp.asarray(ids_np)
         self._cursor = counts + add_counts
         self.n += len(data)
@@ -281,27 +288,37 @@ class IvfFlatIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        vecs = np.asarray(self.vecs_by_list)
+        if self.dtype == "bfloat16":
+            # persist natively: bf16 bits as uint16 (numpy has no bf16) —
+            # same convention as the graph engine (index/hnsw.py)
+            vecs = vecs.view(np.uint16)
         np.savez(
             os.path.join(path, "ivf.npz"),
             centroids=self.centroids,
-            vecs=np.asarray(self.vecs_by_list),
+            vecs=vecs,
             ids=np.asarray(self.ids_by_list),
         )
         with open(os.path.join(path, "ivf.json"), "w") as f:
             json.dump(
                 {"dim": self.dim, "metric": self.metric.value,
                  "lists": self.lists, "seed": self.seed, "n": self.n,
-                 "n_total": self.n_total}, f
+                 "n_total": self.n_total, "dtype": self.dtype}, f
             )
 
     @classmethod
     def load(cls, path: str) -> "IvfFlatIndex":
         with open(os.path.join(path, "ivf.json")) as f:
             m = json.load(f)
-        idx = cls(m["dim"], Metric(m["metric"]), m["lists"], m["seed"])
+        idx = cls(m["dim"], Metric(m["metric"]), m["lists"], m["seed"],
+                  dtype=m.get("dtype", "float32"))
         z = np.load(os.path.join(path, "ivf.npz"))
         idx.centroids = z["centroids"]
-        idx.vecs_by_list = jnp.asarray(z["vecs"])
+        raw = z["vecs"]
+        if raw.dtype == np.uint16:  # natively-persisted bf16 bits
+            idx.vecs_by_list = jnp.asarray(raw).view(jnp.bfloat16)
+        else:
+            idx.vecs_by_list = jnp.asarray(raw, dtype=idx._jdt)
         idx.ids_by_list = jnp.asarray(z["ids"])
         idx.n = m["n"]
         idx.n_total = m.get("n_total", m["n"])

@@ -101,8 +101,18 @@ def _search_layer_body(
     init_state: tuple | None = None,
     return_state: bool = False,
     reset_frontier: bool = False,
+    allowed: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Trace-time body shared by the jitted entry points.
+
+    ``allowed`` is an optional device-resident ``[cap+1]`` bool mask — the
+    TPU-native filtered scan (VERDICT r3 #5): upstream runs the filter
+    predicate per tuple in the executor; here disallowed elements are
+    fused into the ``fresh`` mask exactly like tombstones, so they are
+    never scored, never enter the pool, and the filter costs one gather
+    per step instead of a host round-trip per batch. Seeds from the
+    (unfiltered) upper-level routing are masked out of the results at the
+    end, the same way deleted seeds are.
 
     ``with_counters=True`` additionally returns (hops [Q], dist_evals [Q])
     int32 per-query counters — the SURVEY §5 observability metrics
@@ -201,6 +211,8 @@ def _search_layer_body(
         fresh = nbrs != sent
         if skip_deleted:
             fresh &= ~jnp.take(g.deleted, nbrs, mode="clip")
+        if allowed is not None:
+            fresh &= jnp.take(allowed, nbrs, mode="clip")
         # dedup: vs pool, vs expansion history, vs earlier in this gather
         fresh &= ~jnp.any(nbrs[:, :, None] == pool_i[:, None, :], axis=2)
         fresh &= ~jnp.any(nbrs[:, :, None] == hist[:, None, :], axis=2)
@@ -232,14 +244,19 @@ def _search_layer_body(
         cond, body, (pool_d, pool_i, pool_x, hist, jnp.int32(0), hops, evals)
     )
     state = (pool_d, pool_i, pool_x, hist, hops, evals)
-    if mask_deleted_results:
+    if mask_deleted_results or allowed is not None:
         # Tombstoned elements navigate like live ones (upstream scans keep
         # traversing marked-deleted elements until vacuum repairs the
         # graph; they are filtered at the heap-visibility check) but must
         # never be *returned* (ADVICE r1: a deleted entry point seeded the
         # pool and came back as the #1 hit). Expansion never adds deleted
-        # neighbors (fresh mask), so only seeds can be deleted here.
+        # neighbors (fresh mask), so only seeds can be deleted here — and
+        # likewise only seeds can be filter-disallowed.
         deld = jnp.take(g.deleted, pool_i, mode="clip")
+        if not mask_deleted_results:
+            deld = jnp.zeros_like(deld)
+        if allowed is not None:
+            deld |= ~jnp.take(allowed, pool_i, mode="clip")
         pool_d = jnp.where(deld, INF, pool_d)
         pool_d, sel = T.topk_smallest(pool_d, ef)
         pool_i = jnp.where(
@@ -270,6 +287,7 @@ def search_layer(
     max_steps: int = 0,
     metric: Metric = Metric.L2,
     skip_deleted: bool = True,
+    allowed: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """ef-bounded beam search at one level (jit entry point).
 
@@ -291,6 +309,7 @@ def search_layer(
         max_steps=max_steps,
         metric=metric,
         skip_deleted=skip_deleted,
+        allowed=allowed,
     )
 
 
@@ -501,6 +520,7 @@ def _search_jit(
     metric: Metric,
     descent_ef: int = 1,
     with_counters: bool = False,
+    allowed: jax.Array | None = None,
 ):
     q = queries.astype(g.vectors.dtype)
     with jax.named_scope("descend"):
@@ -511,6 +531,7 @@ def _search_jit(
             g, q, seeds, 0, level0=True, ef=ef, expand=expand,
             max_steps=max_steps, metric=metric, skip_deleted=True,
             mask_deleted_results=True, with_counters=with_counters,
+            allowed=allowed,
         )
     if with_counters:
         pool_d, pool_i, hops, evals = out
@@ -538,6 +559,7 @@ def _search_scan_jit(
     metric: Metric,
     descent_ef: int = 8,
     with_counters: bool = False,
+    allowed: jax.Array | None = None,
 ):
     """Full search with dense-scan routing instead of greedy descent:
     one MXU matmul over the level>=1 subset seeds the level-0 beam."""
@@ -549,6 +571,7 @@ def _search_scan_jit(
             g, q, seeds, 0, level0=True, ef=ef, expand=expand,
             max_steps=max_steps, metric=metric, skip_deleted=True,
             mask_deleted_results=True, with_counters=with_counters,
+            allowed=allowed,
         )
     if with_counters:
         pool_d, pool_i, hops, evals = out
@@ -571,6 +594,7 @@ def search(
     descent_ef: int = 1,
     with_counters: bool = False,
     upper_ids: jax.Array | None = None,
+    allowed: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full query search (upstream hnswscan.c GetScanItems): upper-level
     routing (greedy descent, or a dense scan of the level>=1 subset when
@@ -599,6 +623,7 @@ def search(
             metric=metric,
             descent_ef=max(descent_ef, 1),
             with_counters=with_counters,
+            allowed=allowed,
         )
     return _search_jit(
         g,
@@ -612,6 +637,7 @@ def search(
         metric=metric,
         descent_ef=descent_ef,
         with_counters=with_counters,
+        allowed=allowed,
     )
 
 

@@ -69,6 +69,15 @@ def write_fvecs(path: str, x: np.ndarray) -> None:
     out.tofile(path)
 
 
+def write_ivecs(path: str, x: np.ndarray) -> None:
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    n, d = x.shape
+    out = np.empty((n, d + 1), dtype=np.int32)
+    out[:, 0] = d
+    out[:, 1:] = x
+    out.tofile(path)
+
+
 def synthetic_clustered(
     n: int,
     dim: int,

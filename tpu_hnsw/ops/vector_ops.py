@@ -214,3 +214,130 @@ def halfvec_in(s: str, dim: int | None = None) -> _np.ndarray:
 def halfvec_out(v) -> str:
     v = _np.asarray(v).astype(_np.float32).reshape(-1)
     return "[" + ",".join(_fmt_f32(x) for x in v) + "]"
+
+
+# ------------------------------------------------- ordering / btree opclass
+# Upstream registers a btree operator class over ``vector``
+# (``vector_cmp`` + ``< <= = != >= >`` in ``pgvector:sql/vector.sql``,
+# backed by ``vector_cmp``/``vector_lt``/... in ``pgvector:src/vector.c``)
+# so vectors can be sorted, DISTINCT-ed, and equality-joined. Ordering is
+# element-by-element with Postgres float semantics: NaN sorts GREATER
+# than every number and equal to itself (float4_cmp), and when one vector
+# is a prefix of the other the shorter sorts first.
+
+
+def _cmp_keys(v: _np.ndarray) -> _np.ndarray:
+    """Total-order keys for f32 values with Postgres NaN-is-largest
+    semantics: monotone int32 image of the float order."""
+    # -0.0 + 0.0 == +0.0: collapse signed zeros first (float4_cmp treats
+    # them equal; their bit patterns differ)
+    v = _np.asarray(v, _np.float32) + _np.float32(0.0)
+    b = _np.ascontiguousarray(v, _np.float32).view(_np.int32)
+    # flip negative floats so the int image is monotone; pin NaN to +max
+    keys = _np.where(b < 0, _np.int32(-2147483648) - (b + 1), b)
+    keys = _np.where(_np.isnan(v), _np.int32(2147483647), keys)
+    return keys
+
+
+def vector_cmp(a, b) -> int:
+    """``vector_cmp`` analogue: -1 / 0 / +1 lexicographic comparison."""
+    a = _np.asarray(a, _np.float32).reshape(-1)
+    b = _np.asarray(b, _np.float32).reshape(-1)
+    n = min(len(a), len(b))
+    ka, kb = _cmp_keys(a[:n]), _cmp_keys(b[:n])
+    neq = _np.nonzero(ka != kb)[0]
+    if len(neq):
+        i = neq[0]
+        return -1 if ka[i] < kb[i] else 1
+    if len(a) != len(b):
+        return -1 if len(a) < len(b) else 1
+    return 0
+
+
+def vector_lt(a, b) -> bool:
+    return vector_cmp(a, b) < 0
+
+
+def vector_le(a, b) -> bool:
+    return vector_cmp(a, b) <= 0
+
+
+def vector_eq(a, b) -> bool:
+    return vector_cmp(a, b) == 0
+
+
+def vector_ne(a, b) -> bool:
+    return vector_cmp(a, b) != 0
+
+
+def vector_ge(a, b) -> bool:
+    return vector_cmp(a, b) >= 0
+
+
+def vector_gt(a, b) -> bool:
+    return vector_cmp(a, b) > 0
+
+
+def vector_sort_keys(x) -> _np.ndarray:
+    """Batched total-order keys [N, d] int32 — ``ORDER BY vec`` /
+    ``DISTINCT`` over a vector column via ``np.lexsort`` on the columns
+    (the batched form of :func:`vector_cmp`; same NaN/prefix rules for
+    equal-dim batches)."""
+    x = _np.asarray(x, _np.float32)
+    return _cmp_keys(x)
+
+
+# ----------------------------------------------------------- binary I/O
+# The wire-format half of the type (upstream ``vector_recv``/``vector_send``
+# in ``pgvector:src/vector.c``): big-endian int16 dim, int16 unused (0),
+# then ``dim`` float4s. ``halfvec`` sends float2 (IEEE fp16 on the wire —
+# the storage here is bf16, so send converts bf16->fp16 and recv back;
+# both share f32's rounding rules through float32).
+
+import struct as _struct
+
+
+def vector_send(v) -> bytes:
+    v = _np.asarray(v, _np.float32).reshape(-1)
+    if len(v) > MAX_DIM:
+        raise ValueError(f"vector cannot have more than {MAX_DIM} dimensions")
+    return _struct.pack(f">hh{len(v)}f", len(v), 0, *(float(x) for x in v))
+
+
+def vector_recv(data: bytes) -> _np.ndarray:
+    if len(data) < 4:
+        raise ValueError("invalid binary data for type vector")
+    dim, unused = _struct.unpack(">hh", data[:4])
+    if not (0 < dim <= MAX_DIM) or unused != 0:
+        raise ValueError(f"expected dimension in [1, {MAX_DIM}], got {dim}")
+    if len(data) != 4 + 4 * dim:
+        raise ValueError("invalid binary data for type vector")
+    vals = _np.frombuffer(data, dtype=">f4", offset=4).astype(_np.float32)
+    if _np.isnan(vals).any():
+        raise ValueError("NaN not allowed in vector")
+    if _np.isinf(vals).any():
+        raise ValueError("infinite value not allowed in vector")
+    return vals
+
+
+def halfvec_send(v) -> bytes:
+    h = _np.asarray(v).astype(_np.float16).reshape(-1)
+    return _struct.pack(">hh", len(h), 0) + h.astype(">f2").tobytes()
+
+
+def halfvec_recv(data: bytes):
+    import ml_dtypes
+
+    if len(data) < 4:
+        raise ValueError("invalid binary data for type halfvec")
+    dim, unused = _struct.unpack(">hh", data[:4])
+    if not (0 < dim <= MAX_DIM) or unused != 0:
+        raise ValueError(f"expected dimension in [1, {MAX_DIM}], got {dim}")
+    if len(data) != 4 + 2 * dim:
+        raise ValueError("invalid binary data for type halfvec")
+    vals = _np.frombuffer(data, dtype=">f2", offset=4).astype(_np.float16)
+    if _np.isnan(vals.astype(_np.float32)).any():
+        raise ValueError("NaN not allowed in halfvec")
+    if _np.isinf(vals.astype(_np.float32)).any():
+        raise ValueError("infinite value not allowed in halfvec")
+    return vals.astype(ml_dtypes.bfloat16)
