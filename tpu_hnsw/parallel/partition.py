@@ -27,6 +27,7 @@ Two execution modes:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -799,16 +800,26 @@ class ShardedBlockSearcher:
                 else jnp.ones((b_max,), jnp.float32),
             )
 
+        # bf16 storage with lane-aligned d: the per-shard scoring copy
+        # ALIASES the blocks (_make_score_copy); stacking it separately
+        # would double the dominant component (12.8GB at a 12.5M x 512d
+        # config-E shard) — keep the alias in stacked form too
+        alias_score = all(
+            (s.blocks_score is s.blocks) for s in parts if s.n_blocks
+        )
         stacked = [pad_shard(s) for s in parts]
         dev0 = jax.devices()[0]
-        arrays = [
-            jnp.stack([jax.device_put(s[i], dev0) for s in stacked])
-            for i in range(7)
-        ]
+        idxs = [0, 2, 3, 4, 5, 6] if alias_score else list(range(7))
         sh = NamedSharding(self.mesh, P(self.AXIS))
-        arrays = [jax.device_put(a, sh) for a in arrays]
+        out: dict[int, jax.Array] = {}
+        for i in idxs:
+            a = jnp.stack([jax.device_put(s[i], dev0) for s in stacked])
+            out[i] = jax.device_put(a, sh)
+        if alias_score:
+            out[1] = out[0]
         (self.blocks, self.blocks_score, self.blocks_sq, self.block_gids,
-         self.centroids, self.centroids_sq, self.score_scales) = arrays
+         self.centroids, self.centroids_sq, self.score_scales) = (
+            out[i] for i in range(7))
         self.n_blocks = jax.device_put(
             jnp.asarray([s.n_blocks for s in parts], jnp.int32), sh
         )
@@ -820,6 +831,239 @@ class ShardedBlockSearcher:
         self._hash_routes_cache = {}
         self._router_centroids_dev = None
         self._route_dev_fns = {}
+
+    @classmethod
+    def from_saved(cls, path: str, mesh: Mesh | None = None,
+                   chunk_bytes: int = 1 << 27) -> "ShardedBlockSearcher":
+        """Build the stacked serving state STRAIGHT FROM DISK with
+        bounded device memory — the production serving-load path.
+
+        The in-memory route (``PartitionedHnswIndex.load(path).sharded()``)
+        materializes every shard's device arrays AND the stacked copies
+        before the per-shard state can be released — a ~2x HBM peak that
+        makes a 12.5M x 512d bf16 config-E chip shard (~12.8GB serving)
+        unloadable on a 16GB chip. This path allocates the stacked
+        arrays once, then streams each saved shard's blocks from disk in
+        ``chunk_bytes`` host slabs; a donating device program installs
+        each slab and computes its derived state (squared norms, int8
+        scoring copy + scales or bf16 alias, centroids) in the same
+        pass, so peak device memory = final serving bytes + one slab.
+
+        The returned searcher's parent is a metadata-only skeleton
+        (``_released`` from the start): serving, ``probes_for_ef``,
+        ``stats`` and device-side routing work; per-shard search/DML
+        need a full ``PartitionedHnswIndex.load``.
+        """
+        from tpu_hnsw.config import HnswConfig
+        from tpu_hnsw.index.block import BlockHnswIndex
+
+        with open(os.path.join(path, "partitioned.json")) as f:
+            meta = json.load(f)
+        if meta["engine"] != "block":
+            raise ValueError("from_saved serves block-engine shards only")
+        p = int(meta["p"])
+        rz = np.load(os.path.join(path, "router.npz"))
+
+        part_meta = []
+        for i in range(p):
+            with open(os.path.join(path, f"part{i}", "meta.json")) as f:
+                part_meta.append(json.load(f))
+        c = dict(part_meta[0]["config"])
+        c["metric"] = Metric(c["metric"])
+        cfg = HnswConfig(**c)
+        S = int(part_meta[0]["block_size"])
+        d = cfg.dim
+        b_max = max(max(int(m["n_blocks"]) for m in part_meta), 1)
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        score_dt = os.environ.get("TPU_HNSW_SCORE_DTYPE", "int8")
+        dp = ((d + 127) // 128) * 128
+        alias_score = (score_dt == "bf16" and dt == jnp.bfloat16 and dp == d)
+        quant = not alias_score and score_dt == "int8"
+
+        # slab geometry: pad the stacked B axis to a slab multiple so a
+        # short final slab never overhangs (dynamic_update_slice CLAMPS
+        # start indices — an overhanging slab would rewrite good rows
+        # with its padding). Padded rows carry gid -1 and are masked by
+        # n_blocks in routing.
+        cb = max(1, min(chunk_bytes // max(S * d * 4, 1), b_max))
+        b_pad = ((b_max + cb - 1) // cb) * cb
+
+        # ---- parent skeleton (metadata only; marked released) ----
+        parent = PartitionedHnswIndex(
+            cfg, p, router=meta["router"], route_k=meta.get("route_k", 0),
+            engine="block", block_size=S)
+        if isinstance(parent.router, CentroidRouter):
+            parent.router.centroids = rz["centroids"]
+        parent.n = int(meta["n"])
+        for i, m in enumerate(part_meta):
+            stub = BlockHnswIndex(cfg, block_size=S)
+            stub.n = int(m["n"])
+            stub.n_total = int(m["n_total"])
+            stub.n_blocks = int(m["n_blocks"])
+            gid_p = os.path.join(path, f"part{i}", "global_ids.npy")
+            stub._global_ids = (np.load(gid_p) if os.path.exists(gid_p)
+                                else np.arange(stub.n_total, dtype=np.int32))
+            parent.parts.append(stub)
+        parent._released = True
+
+        self = cls.__new__(cls)
+        self.parent = parent
+        if mesh is None:
+            ndev = min(p, len(jax.devices()))
+            if p % ndev != 0:
+                ndev = 1
+            mesh = jax.make_mesh((ndev,), (cls.AXIS,))
+        if p % mesh.shape[cls.AXIS] != 0:
+            raise ValueError(
+                f"n_partitions={p} must be a multiple of mesh size "
+                f"{mesh.shape[cls.AXIS]}")
+        self.mesh = mesh
+        sh = NamedSharding(mesh, P(cls.AXIS))
+        devs = list(mesh.devices.reshape(-1))
+        ndev = len(devs)
+        local_p = p // ndev
+
+        # per-DEVICE local targets, stream-installed with donation, then
+        # stitched into the global sharded arrays ZERO-COPY via
+        # jax.make_array_from_single_device_arrays (a cross-sharding
+        # dynamic_update_slice is not expressible; per-device locals are)
+        def zeros_on(dev, shape, dtype):
+            return jax.device_put(jnp.zeros(shape, dtype), dev)
+
+        loc = {
+            dv: {
+                "blocks": zeros_on(dv, (local_p, b_pad, S, d), dt),
+                "sq": zeros_on(dv, (local_p, b_pad, S), jnp.float32),
+                "cents": zeros_on(dv, (local_p, b_pad, d), jnp.float32),
+                **({"scores": zeros_on(dv, (local_p, b_pad, S, dp),
+                                       jnp.int8),
+                    "scales": zeros_on(dv, (local_p, b_pad), jnp.float32)}
+                   if quant else {}),
+            }
+            for dv in devs
+        }
+
+        def _derive(slab, live):
+            sf = jnp.where(live[:, :, None], slab.astype(jnp.float32), 0.0)
+            sq = jnp.sum(sf * sf, axis=-1)
+            counts = jnp.maximum(live.sum(axis=1).astype(jnp.float32), 1.0)
+            cent = jnp.sum(sf, axis=1) / counts[:, None]
+            return sf, sq, cent
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def install_plain(blocks, blocks_sq, cents, slab, live, pi, off):
+            sf, sq, cent = _derive(slab, live)
+            return (
+                jax.lax.dynamic_update_slice(
+                    blocks, sf.astype(dt)[None], (pi, off, 0, 0)),
+                jax.lax.dynamic_update_slice(blocks_sq, sq[None],
+                                             (pi, off, 0)),
+                jax.lax.dynamic_update_slice(cents, cent[None],
+                                             (pi, off, 0)),
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+        def install_quant(blocks, blocks_sq, cents, scores, scales, slab,
+                          live, pi, off):
+            sf, sq, cent = _derive(slab, live)
+            absmax = jnp.max(jnp.abs(sf), axis=(1, 2))
+            scl = jnp.maximum(absmax, 1e-30) / 127.0
+            qk = jnp.clip(jnp.round(sf / scl[:, None, None]),
+                          -127, 127).astype(jnp.int8)
+            if dp != d:
+                qk = jnp.pad(qk, ((0, 0), (0, 0), (0, dp - d)))
+            return (
+                jax.lax.dynamic_update_slice(
+                    blocks, sf.astype(dt)[None], (pi, off, 0, 0)),
+                jax.lax.dynamic_update_slice(blocks_sq, sq[None],
+                                             (pi, off, 0)),
+                jax.lax.dynamic_update_slice(cents, cent[None],
+                                             (pi, off, 0)),
+                jax.lax.dynamic_update_slice(scores, qk[None],
+                                             (pi, off, 0, 0)),
+                jax.lax.dynamic_update_slice(scales, scl[None], (pi, off)),
+            )
+
+        bg_host = np.full((p, b_pad, S), -1, np.int32)
+        for i in range(p):
+            dv = devs[i // local_p]
+            li = loc[dv]
+            pi_local = jnp.int32(i % local_p)
+            z = np.load(os.path.join(path, f"part{i}", "blocks.npz"))
+            raw = z["blocks"]
+            bids_host = z["block_ids"]
+            gmap = parent.parts[i]._global_ids.astype(np.int32)
+            B_i = raw.shape[0]
+            if B_i:
+                bg_host[i, :B_i] = np.where(
+                    bids_host >= 0, gmap[np.clip(bids_host, 0, None)], -1)
+            for s0 in range(0, B_i, cb):
+                nb = min(cb, B_i - s0)
+                slab_h = raw[s0:s0 + nb]
+                live_h = bids_host[s0:s0 + nb] >= 0
+                if nb < cb:  # pad: static slab shape -> one compile
+                    slab_h = np.concatenate(
+                        [slab_h, np.zeros((cb - nb, S, d), slab_h.dtype)])
+                    live_h = np.concatenate(
+                        [live_h, np.zeros((cb - nb, S), bool)])
+                slab = jax.device_put(slab_h, dv)
+                if slab.dtype == jnp.uint16:
+                    slab = slab.view(jnp.bfloat16)
+                live = jax.device_put(live_h, dv)
+                if quant:
+                    (li["blocks"], li["sq"], li["cents"], li["scores"],
+                     li["scales"]) = install_quant(
+                        li["blocks"], li["sq"], li["cents"], li["scores"],
+                        li["scales"], slab, live, pi_local, jnp.int32(s0))
+                else:
+                    li["blocks"], li["sq"], li["cents"] = install_plain(
+                        li["blocks"], li["sq"], li["cents"], slab, live,
+                        pi_local, jnp.int32(s0))
+
+        # centroids: store cast to the block dtype, norms from f32 (the
+        # same split _install_blocks uses, so results match in-memory)
+        cast = jax.jit(lambda a: a.astype(dt))
+        sqsum = jax.jit(lambda a: jnp.sum(a * a, axis=-1))
+        for dv in devs:
+            li = loc[dv]
+            li["cents_dt"] = cast(li["cents"])
+            li["c_sq"] = sqsum(li["cents"])
+            del li["cents"]
+        jax.block_until_ready([loc[dv]["blocks"] for dv in devs])
+
+        def stitch(name, shape, dtype):
+            return jax.make_array_from_single_device_arrays(
+                (p, *shape),
+                NamedSharding(mesh, P(cls.AXIS)),
+                [loc[dv][name] for dv in devs],
+            )
+
+        self.blocks = stitch("blocks", (b_pad, S, d), dt)
+        self.blocks_sq = stitch("sq", (b_pad, S), jnp.float32)
+        self.centroids = stitch("cents_dt", (b_pad, d), dt)
+        self.centroids_sq = stitch("c_sq", (b_pad,), jnp.float32)
+        if quant:
+            self.blocks_score = stitch("scores", (b_pad, S, dp), jnp.int8)
+            self.score_scales = stitch("scales", (b_pad,), jnp.float32)
+            self._has_scale = True
+        else:
+            # bf16 storage, lane-aligned: the scoring copy IS the blocks
+            self.blocks_score = self.blocks
+            self.score_scales = jax.device_put(
+                np.ones((p, b_pad), np.float32), sh)
+            self._has_scale = False
+        self.block_gids = jax.device_put(bg_host, sh)
+        self.n_blocks = jax.device_put(
+            jnp.asarray([int(m["n_blocks"]) for m in part_meta], jnp.int32),
+            sh)
+        self._max_blocks = b_max
+        self.two_stage = True
+        self.rerank_width = BlockHnswIndex(cfg, block_size=S).rerank_width
+        self._fn_cache = {}
+        self._hash_routes_cache = {}
+        self._router_centroids_dev = None
+        self._route_dev_fns = {}
+        return self
 
     def release_parts_device_state(self) -> None:
         """Drop the per-shard device arrays once the stacked serving state
@@ -1004,6 +1248,8 @@ class ShardedBlockSearcher:
             for name in ("blocks", "blocks_score", "blocks_sq", "block_gids",
                          "centroids", "centroids_sq")
         }
+        if self.blocks_score is self.blocks:  # bf16 alias: one buffer
+            comp["blocks_score"] = 0
         total = sum(comp.values())
         n = self.parent.n
         return {
