@@ -93,9 +93,17 @@ def main():
     # remote-compile fabrics; program shapes depend on n, so a smaller
     # warmup would not warm them), then measure TWO builds per input mode
     # and report the median (single timed builds swung 78k-vs-113k r2)
+    def drain_build(bx):
+        # force a real device->host fetch: jax.block_until_ready was
+        # observed returning BEFORE remote completion on this fabric
+        # (round 4; docs/ROUND4.md "measurement reckoning"), which
+        # inflated round-2/3 build and QPS figures
+        jax.block_until_ready(bx.blocks)
+        np.asarray(bx.blocks_sq[0])
+
     t0 = time.perf_counter()
     widx = BlockHnswIndex(cfg, block_size=block_size).build(base)
-    jax.block_until_ready(widx.blocks)
+    drain_build(widx)
     t_warm = time.perf_counter() - t0
     block_bytes_per_elem = widx.stats()["bytes_per_element"]
     del widx
@@ -103,7 +111,7 @@ def main():
     def timed_build(inp):
         t0 = time.perf_counter()
         bx = BlockHnswIndex(cfg, block_size=block_size).build(inp)
-        jax.block_until_ready(bx.blocks)
+        drain_build(bx)
         return time.perf_counter() - t0, dict(bx.build_stats), bx
 
     # THREE measured builds per input mode, median reported: single runs
@@ -161,11 +169,38 @@ def main():
     mstats = {}
     # 1024-query chunks: per-dispatch fabric latency measured ~2ms, so
     # bigger batches raise steady-state QPS until HBM work dominates
+    # one full-width chunk per dispatch: the expansion dispatch carries
+    # a ~25ms fixed cost on this fabric (fetch-timed, round 4), so chunk
+    # size IS the throughput knob — 1024-chunks cap ~41k QPS regardless
+    # of the index
     hnsw_qps, ids = measure_qps(
-        idx, queries, 10, 4 * chosen, probes=chosen, pipeline=4,
+        idx, queries, 10, 4 * chosen, probes=chosen, pipeline=1,
         stats_out=mstats
     )
     hnsw_recall = recall_at_k(ids, gt, 10)
+
+    # device-side filtered scan (VERDICT r3 #5 done-criterion: filtered
+    # QPS within 2x unfiltered at a selective predicate): 10% of ids
+    # pass; recall graded against the exact filtered oracle
+    fmask = np.random.default_rng(17).random(n) < 0.10
+    allowed_ids = np.where(fmask)[0]
+    fsub = FlatIndex(base[allowed_ids], Metric.L2)
+    fgt_local = fsub.search(queries, k=10, exact=True)[1]
+    fgt = np.where(fgt_local >= 0,
+                   allowed_ids[np.clip(fgt_local, 0, None)], -1)
+    del fsub
+    fstats = {}
+    filt_qps, fids = measure_qps(
+        idx, queries, 10, 8 * chosen, probes=2 * chosen, pipeline=1,
+        stats_out=fstats, filter_mask=fmask)
+    filt_recall = recall_at_k(fids, fgt, 10)
+    filtered_extra = {
+        "filtered_qps": round(float(filt_qps), 1),
+        "filtered_recall": round(float(filt_recall), 4),
+        "filtered_selectivity": 0.10,
+        "filtered_vs_unfiltered": round(float(filt_qps / hnsw_qps), 3),
+        "filtered_measurement": fstats,
+    }
 
     # the classical graph-traversal engine (the pgvector-faithful beam
     # search; /root/repo/BASELINE.json:5 names it the core) — measured
@@ -204,7 +239,7 @@ def main():
                 g_dce, g_ef, g_exp, g_steps = dce, ef, exp, ms
                 break
         g_stats = {}
-        g_qps, g_ids = measure_qps(gidx, queries, 10, g_ef, pipeline=2,
+        g_qps, g_ids = measure_qps(gidx, queries, 10, g_ef, pipeline=1,
                                    stats_out=g_stats, expand=g_exp,
                                    descent_ef=g_dce, max_steps=g_steps)
         graph_extra = {
@@ -225,7 +260,7 @@ def main():
     # the seqscan path (pgvector's planner picks a sequential scan when it
     # beats the index; hnswcostestimate analogue) — reported, never headline
     flat_stats = {}
-    flat_qps, flat_ids = measure_qps(oracle, queries, 10, 0, pipeline=4,
+    flat_qps, flat_ids = measure_qps(oracle, queries, 10, 0, pipeline=1,
                                      stats_out=flat_stats)
     flat_recall = recall_at_k(flat_ids, gt, 10)
 
@@ -246,6 +281,7 @@ def main():
             "recall_target_met": bool(hnsw_recall >= target_recall),
             "measurement": mstats,
             "block_bytes_per_element": block_bytes_per_elem,
+            **filtered_extra,
             **graph_extra,
             "flat_qps": round(float(flat_qps), 1),
             "flat_recall": round(float(flat_recall), 4),

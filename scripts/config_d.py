@@ -35,7 +35,7 @@ def main():
     n = int(os.environ.get("TPU_HNSW_D_N", 10_000_000))
     dim = 96
     n_parts = 8
-    n_queries = int(os.environ.get("TPU_HNSW_D_Q", 1024))
+    n_queries = int(os.environ.get("TPU_HNSW_D_Q", 8192))
 
     import jax
     from tpu_hnsw import FlatIndex, HnswConfig, Metric
@@ -82,21 +82,32 @@ def main():
     rows = []
     for ef in (16, 32, 64, 128):
         probes = sh.probes_for_ef(ef)
+        # Chunk size is the throughput lever (round-4 fetch-timed sweep,
+        # benchmarks/expand_sweep.json): the expansion dispatch carries a
+        # ~25ms cost that is nearly independent of Q, so bigger query
+        # chunks amortize it (Q=512 -> 17k QPS bound; Q=2048 -> 45k).
+        # Bound the chunk by the [chunk, 8*probes, S, dp] int8 gather
+        # intermediate (~6GB next to the 5.5GB serving state).
+        pp_total = probes * n_parts
+        per_q = pp_total * 256 * 128  # intermediate bytes per query
+        chunk = 512
+        while chunk * 2 <= min(4096, 6_000_000_000 // per_q):
+            chunk *= 2
+        pipeline = max(1, n_queries // chunk)
         st = {}
-        # 1024-query chunks; two in flight bound the [chunk, p, S, d]
-        # gather intermediates (x8 partitions inside the program)
         qps, ids = measure_qps(sh, queries, 10, ef, probes=probes,
-                               pipeline=2, stats_out=st)
+                               pipeline=pipeline, stats_out=st)
         if (st.get("qps_cv") or 0) > 0.10:
             # r2 shipped an ef=16 point at CV 0.19 — re-measure with
             # double-length windows until the <=10% bar holds
             st = {}
             qps, ids = measure_qps(sh, queries, 10, ef, probes=probes,
-                                   pipeline=2, stats_out=st, repeats=16,
-                                   min_window_s=1.0)
+                                   pipeline=pipeline, stats_out=st,
+                                   repeats=16, min_window_s=1.0)
         rows.append({
             "ef_search": ef,
             "probes_per_partition": probes,
+            "chunk": chunk,
             "recall_at_10": round(float(recall_at_k(ids, gt, 10)), 4),
             "qps": round(float(qps), 1),
             "qps_cv": st.get("qps_cv"),

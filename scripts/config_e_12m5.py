@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Config E chip-shard proof at FULL per-chip scale: 12.5M x 512d bf16
+SERVED end-to-end on the one real chip (VERDICT r3 #4: "the projection
+says 12.66 GB — prove it").
+
+A 12.5M-row bf16 shard cannot be built in one piece next to its own
+corpus (6.4GB corpus + 12.8GB packed index > 16GB HBM), and the
+in-memory sharded() assembly would double the serving bytes. So this
+script does what a production loader does:
+
+1. builds TWO 6.25M half-shards sequentially from device-generated
+   slabs (each build's peak fits), computing the EXHAUSTIVE exact
+   ground truth for the benchmark queries against each half while it is
+   resident (merged later: true 12.5M oracle, no extra memory);
+2. saves each half to disk and frees it;
+3. streams both halves straight into stacked serving form with
+   ``ShardedBlockSearcher.from_saved`` (bounded-memory load: serving
+   bytes + one slab; bf16 scoring aliases the blocks) on a 1-device
+   mesh — 12.5M rows served through the config-E serving class on one
+   chip;
+4. measures recall@10 (vs the true oracle) / QPS over a probe sweep and
+   records live device memory.
+
+Writes benchmarks/config_e_12m5.json.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("TPU_HNSW_SCORE_DTYPE", "bf16")  # alias: no 2nd copy
+
+import numpy as np
+
+
+def main():
+    n_total = int(os.environ.get("TPU_HNSW_E12_N", 12_500_000))
+    n_parts = 2
+    n_shard = n_total // n_parts
+    dim = 512
+    n_queries = 512
+    work = os.environ.get("TPU_HNSW_E12_DIR", "/tmp/e12m5_idx")
+
+    import jax
+    import jax.numpy as jnp
+    from tpu_hnsw import BlockHnswIndex, HnswConfig, Metric
+    from tpu_hnsw.parallel.partition import ShardedBlockSearcher
+    from tpu_hnsw.utils.evalharness import measure_qps
+    from tpu_hnsw.utils.recall import recall_at_k
+
+    cfg = HnswConfig(dim=dim, metric=Metric.COSINE, m=16, ef_construction=64,
+                     dtype="bfloat16", seed=0)
+
+    # clustered synthetic generated ON DEVICE in slabs (LAION-like
+    # unit-norm rows; a 25.6GB host corpus would take ~15 min of relay)
+    n_clusters = 8192
+    k0 = jax.random.PRNGKey(0)
+    centers = jax.random.normal(k0, (n_clusters, dim), jnp.float32)
+
+    @jax.jit
+    def gen_slab(centers, key, base_idx):
+        SLAB = 262_144
+        ks = jax.random.split(key, 3)
+        a = jax.random.randint(ks[0], (SLAB,), 0, n_clusters)
+        x = centers[a] * 4.0 + jax.random.normal(ks[1], (SLAB, dim))
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return x.astype(jnp.bfloat16)
+
+    SLAB = 262_144
+
+    def gen_corpus(n, seed0):
+        slabs = []
+        for i in range(-(-n // SLAB)):
+            slabs.append(gen_slab(centers, jax.random.PRNGKey(seed0 + i),
+                                  i * SLAB))
+        x = jnp.concatenate(slabs, axis=0)[:n]
+        return jax.block_until_ready(x)
+
+    # queries: perturbed corpus points from shard 0's generator
+    qk = jax.random.PRNGKey(999)
+    qx = gen_slab(centers, jax.random.PRNGKey(1000), 0)[:n_queries]
+    qx = qx.astype(jnp.float32) + 0.05 * jax.random.normal(
+        qk, (n_queries, dim))
+    qx = qx / jnp.maximum(jnp.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    queries = jax.block_until_ready(qx.astype(jnp.float32))
+    qhost = np.asarray(queries)
+
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    os.makedirs(work, exist_ok=True)
+
+    gt_parts_d, gt_parts_i = [], []
+    build_stats = []
+    for p in range(n_parts):
+        t0 = time.perf_counter()
+        corpus = gen_corpus(n_shard, seed0=1 + p * 1000)
+        t_gen = time.perf_counter() - t0
+        idx = BlockHnswIndex(cfg, block_size=256)
+        t0 = time.perf_counter()
+        idx.build(corpus)
+        t_build = time.perf_counter() - t0
+        del corpus
+        # exhaustive exact oracle for this half while it is resident
+        t0 = time.perf_counter()
+        d, i = idx.search(qhost, k=10, probes=idx.n_blocks)
+        gt_parts_d.append(np.asarray(d))
+        gt_parts_i.append(np.asarray(i) + p * n_shard)  # global ids
+        t_oracle = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx.save(os.path.join(work, f"part{p}"))
+        np.save(os.path.join(work, f"part{p}", "global_ids.npy"),
+                (np.arange(idx.n_total, dtype=np.int32) + p * n_shard))
+        t_save = time.perf_counter() - t0
+        build_stats.append({
+            "gen_s": round(t_gen, 1), "build_s": round(t_build, 1),
+            "oracle_scan_s": round(t_oracle, 1), "save_s": round(t_save, 1),
+            "n_blocks": idx.n_blocks,
+            "build_stages": idx.build_stats,
+        })
+        print(f"shard {p}: {build_stats[-1]}", flush=True)
+        del idx
+
+    # merge the two halves' exhaustive results -> true 12.5M oracle
+    gd = np.concatenate(gt_parts_d, axis=1)
+    gi = np.concatenate(gt_parts_i, axis=1)
+    order = np.argsort(gd, axis=1)[:, :10]
+    gt = np.take_along_axis(gi, order, axis=1)
+
+    # partitioned-index metadata for from_saved
+    with open(os.path.join(work, "partitioned.json"), "w") as f:
+        json.dump({"p": n_parts, "router": "hash", "route_k": 0,
+                   "n": n_total, "engine": "block", "block_size": 256}, f)
+    np.savez(os.path.join(work, "router.npz"), centroids=np.zeros(0),
+             part_of=np.zeros(0, np.int32), local_of=np.zeros(0, np.int32))
+
+    t0 = time.perf_counter()
+    sh = ShardedBlockSearcher.from_saved(
+        work, jax.make_mesh((1,), ("shard",)))
+    load_s = time.perf_counter() - t0
+    assert sh.blocks_score is sh.blocks, "bf16 scoring must alias"
+
+    mem = {}
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        mem = {kk: ms[kk] for kk in ("bytes_in_use", "bytes_limit")
+               if kk in ms}
+    except Exception:
+        pass
+
+    rows = []
+    for ef in (32, 64, 128):
+        probes = sh.probes_for_ef(ef)
+        per_q = probes * n_parts * 256 * 512 * 2  # bf16 gather bytes/query
+        chunk = 256
+        while chunk * 2 <= min(2048, 2_500_000_000 // per_q):
+            chunk *= 2
+        st = {}
+        qps, ids = measure_qps(sh, qhost, 10, ef, probes=probes,
+                               pipeline=max(1, n_queries // chunk),
+                               stats_out=st)
+        rows.append({
+            "ef_search": ef, "probes_per_shard": probes, "chunk": chunk,
+            "recall_at_10": round(float(recall_at_k(ids, gt, 10)), 4),
+            "qps": round(float(qps), 1),
+            "qps_cv": st.get("qps_cv"),
+        })
+        print(rows[-1], flush=True)
+
+    out = {
+        "config": "E chip shard at FULL scale: 12.5M x 512d bf16 served "
+                  "on one chip via ShardedBlockSearcher.from_saved",
+        "dataset": "synthetic-clustered (device-generated, unit-norm)",
+        "n": n_total, "dim": dim, "metric": "cosine", "dtype": "bfloat16",
+        "parts_on_chip": n_parts,
+        "serving_load_s": round(load_s, 1),
+        "serving_memory": sh.stats(),
+        "device_memory": mem,
+        "build_per_half": build_stats,
+        "sweep": rows,
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/config_e_12m5.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({kk: v for kk, v in out.items()
+                      if kk not in ("sweep", "build_per_half")}))
+
+
+if __name__ == "__main__":
+    main()

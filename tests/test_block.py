@@ -163,10 +163,21 @@ def test_probes_for_ef_mapping():
     base, _ = _data(n=4096)
     cfg = HnswConfig(dim=32, m=8, ef_construction=32)
     idx = BlockHnswIndex(cfg, block_size=64).build(base)
-    # ef/4 scaled by block_slack so corpus coverage per ef is constant
-    assert idx.probes_for_ef(40) == 11  # ceil(40/4) + slack compensation
-    assert idx.probes_for_ef(4) == 1
+    # ROWS_PER_EF rows of stage-1 candidates per unit of ef, computed
+    # from the index's OWN block size (r4: ceil(ef/4) was tuned to S=256
+    # and silently scanned 4x less corpus at S=64), scaled by block_slack
+    # so coverage per ef is constant under slack
+    want = -(-idx.ROWS_PER_EF * 40 // 64)  # 40 blocks at S=64
+    want += int((idx.block_slack - 1) * want + 0.5)
+    assert idx.probes_for_ef(40) == want
+    assert idx.probes_for_ef(1) == 1 + int(
+        (idx.block_slack - 1) * 1 + 0.5)
     assert idx.probes_for_ef(10**6) == idx.n_blocks
+    # S=256 reproduces the round-3 tuned mapping exactly: ceil(ef/4)
+    idx256 = BlockHnswIndex(cfg, block_size=256).build(base)
+    p = -(-40 // 4)
+    assert idx256.probes_for_ef(40) == p + int(
+        (idx256.block_slack - 1) * p + 0.5)
 
 
 def test_device_resident_build_matches_host_build():

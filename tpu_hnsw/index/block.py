@@ -800,17 +800,25 @@ class BlockHnswIndex:
             return False
         return self.n_blocks > self.EXACT_ROUTING_MAX
 
+    #: stage-1 candidate rows per unit of ef_search. Anchored so the
+    #: default S=256 reproduces the tuned ceil(ef/4)-blocks mapping
+    #: (64*ef/256 blocks); at other block sizes the same ROWS-per-ef
+    #: budget holds instead of silently scanning a different corpus
+    #: fraction (VERDICT r3 weak #7).
+    ROWS_PER_EF = 64
+
     def probes_for_ef(self, ef_search: int) -> int:
         """Map the ef_search GUC onto a block-probe count.
 
         ef_search bounds the classical level-0 candidate pool; with
-        blocked level 0 the pool is ``probes`` whole blocks. probes =
-        ceil(ef/4) makes the standard ef sweep (10..400) cover the
-        useful probe range (3..100) at the default S=256; the
-        ``block_slack`` factor keeps corpus coverage per ef constant
-        (slack adds blocks without adding rows).
+        blocked level 0 the pool is ``probes`` whole blocks. The mapping
+        targets ``ROWS_PER_EF`` scanned rows per unit of ef — a
+        per-index computation from the actual block size, so an ef sweep
+        covers the same corpus fraction at any S. The ``block_slack``
+        factor keeps coverage constant under slack (slack adds blocks
+        without adding rows).
         """
-        p = math.ceil(ef_search / 4)
+        p = math.ceil(self.ROWS_PER_EF * ef_search / self.block_size)
         p += int((self.block_slack - 1) * p + 0.5)  # slack compensation
         return max(1, min(p, self.n_blocks))
 

@@ -78,3 +78,20 @@ def kway_merge_topk(
     flat_i = ids.reshape(*ids.shape[:-2], -1)
     vals, sel = topk_smallest(flat_d, k)
     return vals, jnp.take_along_axis(flat_i, sel, axis=-1)
+
+
+def mask_duplicate_ids(d: jax.Array, i: jax.Array) -> jax.Array:
+    """Mask (to +inf) every entry whose id already appeared in an earlier
+    column of the same row — the merge-dedup for multi-assigned replicas
+    (parallel/partition.py): a border vector stored in two partitions
+    reaches the merge twice with IDENTICAL distance, so dropping either
+    copy is exact. d/i: [Q, w]; w is small (P*k), the [Q, w, w] compare
+    is trivial."""
+    w = i.shape[1]
+    eq = (i[:, :, None] == i[:, None, :]) & (i[:, :, None] >= 0)
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, w, w), 2)
+        < jax.lax.broadcasted_iota(jnp.int32, (1, w, w), 1)
+    )
+    dup = jnp.any(eq & earlier, axis=-1)
+    return jnp.where(dup, jnp.inf, d)

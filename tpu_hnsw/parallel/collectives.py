@@ -31,16 +31,23 @@ import jax.numpy as jnp
 from tpu_hnsw.ops import topk as T
 
 
-def gather_merge_topk(d, i, k: int, axis: str):
-    """all_gather over ``axis`` + local top-k. d/i: [Q, c] per device."""
+def gather_merge_topk(d, i, k: int, axis: str, dedup: bool = False):
+    """all_gather over ``axis`` + local top-k. d/i: [Q, c] per device.
+    ``dedup`` drops duplicate ids before the top-k (multi-assigned
+    replicas arrive from two shards with identical distances)."""
     q = d.shape[0]
     d_all = jnp.moveaxis(jax.lax.all_gather(d, axis), 0, 1).reshape(q, -1)
     i_all = jnp.moveaxis(jax.lax.all_gather(i, axis), 0, 1).reshape(q, -1)
+    if dedup:
+        d_all = T.mask_duplicate_ids(d_all, i_all)
     vals, sel = T.topk_smallest(d_all, k)
-    return vals, jnp.take_along_axis(i_all, sel, axis=1)
+    ids = jnp.take_along_axis(i_all, sel, axis=1)
+    if dedup:
+        ids = jnp.where(jnp.isfinite(vals), ids, -1)
+    return vals, ids
 
 
-def ring_merge_topk(d, i, k: int, axis: str):
+def ring_merge_topk(d, i, k: int, axis: str, dedup: bool = False):
     """Ring merge: every device ends with the global top-k.
 
     Each step forwards the lists received in the previous step (starting
@@ -59,16 +66,21 @@ def ring_merge_topk(d, i, k: int, axis: str):
         send_i = jax.lax.ppermute(send_i, axis, perm)
         md = jnp.concatenate([acc_d, send_d], axis=1)
         mi = jnp.concatenate([acc_i, send_i], axis=1)
+        if dedup:
+            md = T.mask_duplicate_ids(md, mi)
         acc_d, sel = T.topk_smallest(md, k)
         acc_i = jnp.take_along_axis(mi, sel, axis=1)
+        if dedup:
+            acc_i = jnp.where(jnp.isfinite(acc_d), acc_i, -1)
     return acc_d, acc_i
 
 
-def hierarchical_merge_topk(d, i, k: int, intra_axis: str, inter_axis: str):
+def hierarchical_merge_topk(d, i, k: int, intra_axis: str, inter_axis: str,
+                            dedup: bool = False):
     """Two-level merge: ICI within a slice, then DCN across slices.
 
     Equivalent to a flat merge over both axes (top-k is associative);
     only k rows per device cross ``inter_axis``.
     """
-    d, i = gather_merge_topk(d, i, k, intra_axis)
-    return gather_merge_topk(d, i, k, inter_axis)
+    d, i = gather_merge_topk(d, i, k, intra_axis, dedup=dedup)
+    return gather_merge_topk(d, i, k, inter_axis, dedup=dedup)

@@ -45,6 +45,15 @@ from tpu_hnsw.ops import topk as T
 from tpu_hnsw.parallel import kmeans as KM
 
 
+def _dup_mask_np(ids: np.ndarray) -> np.ndarray:
+    """[Q, w] bool: True where ids[q, j] repeats an EARLIER column —
+    host-side twin of ops.topk.mask_duplicate_ids (replica dedup)."""
+    w = ids.shape[1]
+    eq = ids[:, :, None] == ids[:, None, :]
+    earlier = np.tril(np.ones((w, w), bool), -1)
+    return (eq & earlier[None] & (ids[:, :, None] >= 0)).any(-1)
+
+
 class HashRouter:
     """Round-robin/hash assignment; queries broadcast to all partitions."""
 
@@ -107,6 +116,17 @@ class PartitionedHnswIndex:
         # or "block" (BlockHnswIndex — the flagship serving engine; config
         # D's 10M-on-one-chip shape wants blocked level 0 per shard)
         block_size: int = 256,
+        # Multi-assign boundary mitigation (centroid router only): the
+        # ``multi_assign_frac`` fraction of rows with the SMALLEST gap
+        # between their nearest and 2nd-nearest partition centroids is
+        # ALSO stored in that 2nd partition — the IVF classic for the
+        # routed-recall cliff (VERDICT r3 #4: route_k=2 recall 0.52
+        # without it). A fraction budget, not a distance threshold: at
+        # high dim, distance ratios concentrate near 1 (measured at 512d:
+        # any ratio threshold grabs ~nothing or ~everything), while the
+        # gap RANKING stays informative. Costs the replica fraction in
+        # memory; merges dedup replica ids exactly (identical distances).
+        multi_assign_frac: float = 0.0,
     ):
         if engine not in ("graph", "block"):
             raise ValueError("engine must be graph|block")
@@ -120,6 +140,11 @@ class PartitionedHnswIndex:
         )
         self.parts: list[HnswIndex] = []
         self.capacity = capacity
+        self.multi_assign_frac = float(multi_assign_frac)
+        # global id -> (secondary partition, local id there), -1 = none
+        self._replica_part = np.zeros(0, np.int32)
+        self._replica_local = np.zeros(0, np.int32)
+        self.has_replicas = False
         # global id -> (partition, local id)
         self._part_of = np.zeros(0, np.int32)
         self._local_of = np.zeros(0, np.int32)
@@ -167,10 +192,38 @@ class PartitionedHnswIndex:
                 jax.make_mesh((self.p,), ("shard",))
                 if self.p <= ndev and self.p > 1 else None
             )
+        replica = np.full(n, -1, np.int32)
+        if (self.multi_assign_frac > 0
+                and isinstance(self.router, CentroidRouter) and self.p > 1):
+            cj = jnp.asarray(np.asarray(self.router.centroids, np.float32))
+            second = np.zeros(n, np.int32)
+            gap = np.zeros(n, np.float32)
+            for s0 in range(0, n, 262144):
+                xb = jnp.asarray(data[s0:s0 + 262144])
+                sc = np.array(D.pairwise_scores(xb, cj, Metric.L2))
+                rows = np.arange(sc.shape[0])
+                a = assign[s0:s0 + 262144]
+                d1 = sc[rows, a].copy()
+                sc[rows, a] = np.inf
+                s2 = sc.argmin(axis=1)
+                second[s0:s0 + 262144] = s2
+                gap[s0:s0 + 262144] = sc[rows, s2] - d1
+            budget = int(min(self.multi_assign_frac, 1.0) * n)
+            if budget:
+                border = np.argpartition(gap, budget - 1)[:budget]
+                replica[border] = second[border]
+        self._replica_part = replica
+        self._replica_local = np.full(n, -1, np.int32)
+        self.has_replicas = bool((replica >= 0).any())
         part_rows = []
         for p in range(self.p):
             rows = np.where(assign == p)[0]
             self._local_of[rows] = np.arange(len(rows), dtype=np.int32)
+            rep_rows = np.where(replica == p)[0]
+            if rep_rows.size:
+                self._replica_local[rep_rows] = (
+                    len(rows) + np.arange(len(rep_rows))).astype(np.int32)
+                rows = np.concatenate([rows, rep_rows])
             part_rows.append(rows)
         if self.engine == "block":
             from tpu_hnsw.index.block import BlockHnswIndex
@@ -244,10 +297,14 @@ class PartitionedHnswIndex:
             all_i[mask, p, :] = glob
         flat_d = all_d.reshape(nq, -1)
         flat_i = all_i.reshape(nq, -1)
+        if self.has_replicas:
+            flat_d = np.where(_dup_mask_np(flat_i), np.inf, flat_d)
         order = np.argsort(flat_d, axis=1)[:, :k]
-        return np.take_along_axis(flat_d, order, axis=1), np.take_along_axis(
-            flat_i, order, axis=1
-        )
+        d_out = np.take_along_axis(flat_d, order, axis=1)
+        i_out = np.take_along_axis(flat_i, order, axis=1)
+        if self.has_replicas:
+            i_out = np.where(np.isfinite(d_out), i_out, -1)
+        return d_out, i_out
 
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
                       probes: int | None = None,
@@ -287,6 +344,8 @@ class PartitionedHnswIndex:
             gs.append(gi)
         alld = jnp.concatenate(ds, axis=1)
         alli = jnp.concatenate(gs, axis=1)
+        if self.has_replicas:
+            alld = T.mask_duplicate_ids(alld, alli)
         vals, sel = T.topk_smallest(alld, k)
         ids = jnp.take_along_axis(alli, sel, axis=1)
         return vals, jnp.where(jnp.isfinite(vals), ids, -1)
@@ -357,6 +416,8 @@ class PartitionedHnswIndex:
             si = np.take_along_axis(flat_i, order, axis=1)
             mask = predicate(si) if predicate is not None else si >= 0
             mask &= si >= 0
+            if self.has_replicas:
+                mask &= ~_dup_mask_np(si)
             exhausted = (r >= min(max_route_k, routes_full.shape[1])
                          and fetch >= max_fetch)
             for qi in range(nq):
@@ -433,6 +494,12 @@ class PartitionedHnswIndex:
         for p in np.unique(owners):
             self.parts[p].delete(self._local_of[ids[owners == p]])
             self.parts[p].__dict__.pop("_global_ids_dev", None)
+        if self.has_replicas and len(self._replica_part):
+            rid = ids[ids < len(self._replica_part)]
+            rown = self._replica_part[rid]
+            for p in np.unique(rown[rown >= 0]):
+                self.parts[p].delete(self._replica_local[rid[rown == p]])
+                self.parts[p].__dict__.pop("_global_ids_dev", None)
 
     def compact(self) -> None:
         """VACUUM analogue: repair (graph engine) / re-pack (block engine)
@@ -479,6 +546,8 @@ class PartitionedHnswIndex:
             "n": self.n,
             "engine": self.engine,
             "block_size": self.block_size,
+            "multi_assign_frac": self.multi_assign_frac,
+            "has_replicas": self.has_replicas,
         }
         with open(os.path.join(path, "partitioned.json"), "w") as f:
             json.dump(meta, f)
@@ -491,6 +560,8 @@ class PartitionedHnswIndex:
             ),
             part_of=self._part_of,
             local_of=self._local_of,
+            replica_part=self._replica_part,
+            replica_local=self._replica_local,
         )
 
     @classmethod
@@ -510,6 +581,11 @@ class PartitionedHnswIndex:
         if meta["router"] == "centroid":
             idx.router.centroids = z["centroids"]
         idx._part_of, idx._local_of = z["part_of"], z["local_of"]
+        if "replica_part" in z:
+            idx._replica_part = z["replica_part"]
+            idx._replica_local = z["replica_local"]
+        idx.multi_assign_frac = float(meta.get("multi_assign_frac", 0.0))
+        idx.has_replicas = bool(meta.get("has_replicas", False))
         idx.n = meta["n"]
         idx.parts = []
         for p in range(meta["p"]):
@@ -620,6 +696,7 @@ class ShardedHnswSearcher:
         mesh_n = self.mesh.shape[self.AXIS]
         local_p = p // mesh_n
         axis = self.AXIS
+        dedup = getattr(self.parent, "has_replicas", False)
 
         def shard_body(vectors, vectors_sq, nbr0, upn, ups, levels, deleted,
                        gids, entries, entry_levels, queries, routes):
@@ -659,8 +736,8 @@ class ShardedHnswSearcher:
             from tpu_hnsw.parallel import collectives as C
 
             if merge == "ring":
-                return C.ring_merge_topk(d, i, k, axis)
-            return C.gather_merge_topk(d, i, k, axis)
+                return C.ring_merge_topk(d, i, k, axis, dedup=dedup)
+            return C.gather_merge_topk(d, i, k, axis, dedup=dedup)
 
         spec_sh = P(self.AXIS)
         spec_rep = P()
@@ -678,11 +755,17 @@ class ShardedHnswSearcher:
                merge: str = "all_gather", descent_ef: int = 1):
         cfg = self.parent.cfg
         queries = np.asarray(queries, np.float32)
+        route_k = self.parent.route_k if route_k is None else route_k
+        # route with RAW queries: the router's centroids were fit on raw
+        # data (build/assign), so routing must see the same geometry.
+        # Routing normalized queries against raw-space centroids made the
+        # route_k<P selection norm-driven — measured recall 0.62 vs 0.95
+        # host-loop at route_k=2 on config-E-shaped data (the r3 config-E
+        # "routing cliff" was THIS, not boundary physics).
+        routes = self.parent.router.route(queries, route_k)
         if cfg.metric.needs_normalized:
             n = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = queries / np.maximum(n, 1e-12)
-        route_k = self.parent.route_k if route_k is None else route_k
-        routes = self.parent.router.route(queries, route_k)
         ef = max(ef_search, k)
         key = (k, ef, expand, routes.shape[1], merge, descent_ef)
         if key not in self._fn_cache:
@@ -895,6 +978,9 @@ class ShardedBlockSearcher:
         if isinstance(parent.router, CentroidRouter):
             parent.router.centroids = rz["centroids"]
         parent.n = int(meta["n"])
+        parent.multi_assign_frac = float(
+            meta.get("multi_assign_frac", 0.0))
+        parent.has_replicas = bool(meta.get("has_replicas", False))
         for i, m in enumerate(part_meta):
             stub = BlockHnswIndex(cfg, block_size=S)
             stub.n = int(m["n"])
@@ -1117,13 +1203,13 @@ class ShardedBlockSearcher:
         return routes
 
     def probes_for_ef(self, ef_search: int) -> int:
-        """Per-shard probe count for an ef (same mapping as the host-loop
-        engine; clamping to each shard's n_blocks happens on device via
-        padded-block masking)."""
+        """Per-shard probe count for an ef (same ROWS_PER_EF-budget
+        mapping as the host-loop engine; clamping to each shard's
+        n_blocks happens on device via padded-block masking)."""
         import math as _math
 
         ref = next(s for s in self.parent.parts if s.n_blocks)
-        p = _math.ceil(ef_search / 4)
+        p = _math.ceil(ref.ROWS_PER_EF * ef_search / ref.block_size)
         p += int((ref.block_slack - 1) * p + 0.5)
         # host-cached max (an eager device reduce costs ~10ms/call on the
         # serving fabric)
@@ -1145,6 +1231,7 @@ class ShardedBlockSearcher:
         axis = self.AXIS
         two_stage = self.two_stage
         has_scale = self._has_scale
+        dedup = getattr(self.parent, "has_replicas", False)
 
         def shard_body(blocks, blocks_score, blocks_sq, bgids, cents, c_sq,
                        nb, scales, queries, routes):
@@ -1183,8 +1270,9 @@ class ShardedBlockSearcher:
             iloc = jnp.concatenate(outs_i, axis=1)
             with jax.named_scope("ici_merge"):
                 if merge == "ring":
-                    return C.ring_merge_topk(dloc, iloc, k, axis)
-                return C.gather_merge_topk(dloc, iloc, k, axis)
+                    return C.ring_merge_topk(dloc, iloc, k, axis,
+                                             dedup=dedup)
+                return C.gather_merge_topk(dloc, iloc, k, axis, dedup=dedup)
 
         spec_sh = P(self.AXIS)
         spec_rep = P()
@@ -1209,18 +1297,21 @@ class ShardedBlockSearcher:
         route_k = self.parent.route_k if route_k is None else route_k
         if isinstance(queries, jax.Array) and queries.ndim == 2:
             # device-resident serving batch: routing stays on device too
-            # (a host round-trip per batch costs more than the search)
-            qj = queries.astype(jnp.float32)
-            if cfg.metric.needs_normalized:
-                qj = D.l2_normalize(qj)
-            routes = self._routes_device(qj, route_k)
+            # (a host round-trip per batch costs more than the search).
+            # Route with the RAW queries — the router's centroids live in
+            # raw space (see ShardedHnswSearcher.search for the measured
+            # recall cliff this prevents); normalize only for scoring.
+            qraw = queries.astype(jnp.float32)
+            routes = self._routes_device(qraw, route_k)
+            qj = (D.l2_normalize(qraw) if cfg.metric.needs_normalized
+                  else qraw)
         else:
             qh = np.asarray(queries, np.float32)
+            routes = jnp.asarray(self.parent.router.route(qh, route_k))
             if cfg.metric.needs_normalized:
                 nrm = np.linalg.norm(qh, axis=1, keepdims=True)
                 qh = qh / np.maximum(nrm, 1e-12)
             qj = jnp.asarray(qh)
-            routes = jnp.asarray(self.parent.router.route(qh, route_k))
         key = (k, probes, routes.shape[1], merge)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_fn(

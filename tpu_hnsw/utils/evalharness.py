@@ -63,12 +63,24 @@ def measure_qps(index, queries, k, ef_search, repeats: int = 10,
     def one_pass():
         return [dev(b, k=k, ef_search=ef_search, **search_kw) for b in batches]
 
+    def drain(out):
+        # Force a real device->host fetch of the final batch's ids in
+        # addition to block_until_ready: on this fabric
+        # jax.block_until_ready was observed returning BEFORE remote
+        # completion for some programs (round-4 finding: microbenchmarks
+        # reading "0.04ms" for 30ms programs). The device executes
+        # serially, so fetching the LAST enqueued result bounds the
+        # whole window truthfully; the single small fetch amortizes over
+        # the window's many batches.
+        jax.block_until_ready(out)
+        np.asarray(out[-1][1])
+
     out = one_pass()  # warm compile
-    jax.block_until_ready(out)
+    drain(out)
     # calibrate: how many passes fill one window
     t0 = time.perf_counter()
     out = one_pass()
-    jax.block_until_ready(out)
+    drain(out)
     dt1 = time.perf_counter() - t0
     loops = max(1, int(min_window_s / max(dt1, 1e-6)))
     qpss = []
@@ -76,7 +88,7 @@ def measure_qps(index, queries, k, ef_search, repeats: int = 10,
         t0 = time.perf_counter()
         for _ in range(loops):
             out = one_pass()
-        jax.block_until_ready(out)
+        drain(out)
         qpss.append(loops * nq / (time.perf_counter() - t0))
     qpss = np.asarray(qpss)
     med = float(np.median(qpss))
