@@ -209,7 +209,10 @@ def main():
     if with_graph:
         t0 = time.perf_counter()
         gidx = HnswIndex(cfg).build(base)
+        jax.block_until_ready(gidx.graph.neighbors0)
+        np.asarray(gidx.graph.levels[:1])  # drain: real fetch
         g_build_s = time.perf_counter() - t0
+        g_build_stages = getattr(gidx, "build_stats", {}).get("stages", {})
         # operating points, cheapest first: (descent_ef/seeds, ef_search,
         # expand, max_steps) — the (seeds, steps) frontier measured in
         # benchmarks/route_scan2.json. Under route=auto the 1M graph
@@ -251,6 +254,7 @@ def main():
             "hnsw_graph_expand": g_exp,
             "hnsw_graph_max_steps": g_steps,
             "hnsw_graph_build_s": round(g_build_s, 1),
+            "hnsw_graph_build_stages": g_build_stages,
             "hnsw_graph_bytes_per_element": gidx.stats()[
                 "bytes_per_element"],
             "hnsw_graph_measurement": g_stats,

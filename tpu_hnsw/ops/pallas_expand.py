@@ -14,15 +14,17 @@ overhead per 64KB block — batching TQ*p DMAs per grid step amortizes it)
 and writes back only the ``[Q, p, S]`` f32 scores: every byte read is a
 candidate scored, nothing is written but the answer.
 
-Status: measured alternative, NOT the production path. The idle-chip
-shootout at the headline shape (1M x 128, Q=4096, p=8, S=256 —
-scripts/microbench_expand.py, benchmarks/expand_shootout.json) puts the
-XLA int8 gather+einsum at 9.4ms, XLA bf16 at 13.0ms, and this kernel
-(bf16) at 24.2ms: XLA's gather pipeline beats the hand-scheduled DMAs
-2.6x in steady state, so index/block.py keeps the XLA path. The kernel's
-earlier win (11ms vs 309ms) reproduced only under heavy host contention,
-where the XLA intermediate's HBM traffic serialized. Correctness:
-interpret-mode parity vs the XLA expansion math in
+Status: measured alternative, NOT the production path. CAVEAT (round 4):
+the round-3 shootout figures below were taken with
+``jax.block_until_ready`` timing, which this fabric can satisfy BEFORE
+remote completion (docs/ROUND4.md "measurement reckoning") — treat the
+ratios as suspect until the fetch-timed re-measurement lands. r3
+shootout at (1M x 128, Q=4096, p=8, S=256 — scripts/microbench_expand.py,
+benchmarks/expand_shootout.json): XLA int8 gather+einsum 9.4ms, XLA bf16
+13.0ms, this kernel (bf16) 24.2ms; fetch-timed round-4 data says the XLA
+path's true cost at config-D scale is ~25ms/dispatch + ~0.3us per block
+fetched regardless. Correctness: interpret-mode parity vs the XLA
+expansion math in
 tests/test_pallas_kernels.py::test_pallas_expand_score_matches_xla.
 
 Layout contract: ``blocks`` last dim a multiple of 128 lanes (the index
