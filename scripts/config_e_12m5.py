@@ -39,7 +39,7 @@ import numpy as np
 
 def main():
     n_total = int(os.environ.get("TPU_HNSW_E12_N", 12_500_000))
-    n_parts = 2
+    n_parts = 4
     n_shard = n_total // n_parts
     dim = 512
     n_queries = 512
@@ -61,24 +61,25 @@ def main():
     k0 = jax.random.PRNGKey(0)
     centers = jax.random.normal(k0, (n_clusters, dim), jnp.float32)
 
+    SLAB = 312_500  # n_shard divides exactly: no concat-then-slice copy
+
     @jax.jit
     def gen_slab(centers, key, base_idx):
-        SLAB = 262_144
         ks = jax.random.split(key, 3)
         a = jax.random.randint(ks[0], (SLAB,), 0, n_clusters)
         x = centers[a] * 4.0 + jax.random.normal(ks[1], (SLAB, dim))
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return x.astype(jnp.bfloat16)
 
-    SLAB = 262_144
-
     def gen_corpus(n, seed0):
-        slabs = []
-        for i in range(-(-n // SLAB)):
-            slabs.append(gen_slab(centers, jax.random.PRNGKey(seed0 + i),
-                                  i * SLAB))
-        x = jnp.concatenate(slabs, axis=0)[:n]
-        return jax.block_until_ready(x)
+        assert n % SLAB == 0
+        slabs = [gen_slab(centers, jax.random.PRNGKey(seed0 + i), i * SLAB)
+                 for i in range(n // SLAB)]
+        # donating concat: slabs are freed as they fold into the output,
+        # so peak = 2x corpus, not 3x (the [:n] slice copy OOMed at 6.25M)
+        cat = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0),
+                      donate_argnums=tuple(range(len(slabs))))
+        return jax.block_until_ready(cat(*slabs))
 
     # queries: perturbed corpus points from shard 0's generator
     qk = jax.random.PRNGKey(999)
@@ -89,13 +90,16 @@ def main():
     queries = jax.block_until_ready(qx.astype(jnp.float32))
     qhost = np.asarray(queries)
 
-    if os.path.exists(work):
+    reuse = (os.environ.get("TPU_HNSW_E12_REUSE") == "1"
+             and os.path.exists(os.path.join(work, "gt.npy"))
+             and os.path.exists(os.path.join(work, "partitioned.json")))
+    if not reuse and os.path.exists(work):
         shutil.rmtree(work)
     os.makedirs(work, exist_ok=True)
 
     gt_parts_d, gt_parts_i = [], []
     build_stats = []
-    for p in range(n_parts):
+    for p in range(0 if reuse else n_parts):
         t0 = time.perf_counter()
         corpus = gen_corpus(n_shard, seed0=1 + p * 1000)
         t_gen = time.perf_counter() - t0
@@ -104,7 +108,7 @@ def main():
         idx.build(corpus)
         t_build = time.perf_counter() - t0
         del corpus
-        # exhaustive exact oracle for this half while it is resident
+        # exhaustive exact oracle for this shard while it is resident
         t0 = time.perf_counter()
         d, i = idx.search(qhost, k=10, probes=idx.n_blocks)
         gt_parts_d.append(np.asarray(d))
@@ -124,18 +128,32 @@ def main():
         print(f"shard {p}: {build_stats[-1]}", flush=True)
         del idx
 
-    # merge the two halves' exhaustive results -> true 12.5M oracle
-    gd = np.concatenate(gt_parts_d, axis=1)
-    gi = np.concatenate(gt_parts_i, axis=1)
-    order = np.argsort(gd, axis=1)[:, :10]
-    gt = np.take_along_axis(gi, order, axis=1)
+    if reuse:
+        gt = np.load(os.path.join(work, "gt.npy"))
+        if os.path.exists(os.path.join(work, "build_stats.json")):
+            with open(os.path.join(work, "build_stats.json")) as f:
+                build_stats = json.load(f)
+    else:
+        # merge the shards' exhaustive results -> true 12.5M oracle
+        gd = np.concatenate(gt_parts_d, axis=1)
+        gi = np.concatenate(gt_parts_i, axis=1)
+        order = np.argsort(gd, axis=1)[:, :10]
+        gt = np.take_along_axis(gi, order, axis=1)
+        np.save(os.path.join(work, "gt.npy"), gt)
+        np.save(os.path.join(work, "queries.npy"), qhost)
+        with open(os.path.join(work, "build_stats.json"), "w") as f:
+            json.dump(build_stats, f)
 
-    # partitioned-index metadata for from_saved
-    with open(os.path.join(work, "partitioned.json"), "w") as f:
-        json.dump({"p": n_parts, "router": "hash", "route_k": 0,
-                   "n": n_total, "engine": "block", "block_size": 256}, f)
-    np.savez(os.path.join(work, "router.npz"), centroids=np.zeros(0),
-             part_of=np.zeros(0, np.int32), local_of=np.zeros(0, np.int32))
+        # partitioned-index metadata for from_saved
+        with open(os.path.join(work, "partitioned.json"), "w") as f:
+            json.dump({"p": n_parts, "router": "hash", "route_k": 0,
+                       "n": n_total, "engine": "block", "block_size": 256},
+                      f)
+        np.savez(os.path.join(work, "router.npz"), centroids=np.zeros(0),
+                 part_of=np.zeros(0, np.int32),
+                 local_of=np.zeros(0, np.int32))
+    if reuse:
+        qhost = np.load(os.path.join(work, "queries.npy"))
 
     t0 = time.perf_counter()
     sh = ShardedBlockSearcher.from_saved(
@@ -152,22 +170,28 @@ def main():
         pass
 
     rows = []
-    for ef in (32, 64, 128):
+    for ef in (16, 32, 64):
         probes = sh.probes_for_ef(ef)
         per_q = probes * n_parts * 256 * 512 * 2  # bf16 gather bytes/query
-        chunk = 256
-        while chunk * 2 <= min(2048, 2_500_000_000 // per_q):
+        # conservative chunk: the remote compiler 500s on very large
+        # gather programs at this table size
+        chunk = 64
+        while chunk * 2 <= min(512, 1_200_000_000 // per_q):
             chunk *= 2
-        st = {}
-        qps, ids = measure_qps(sh, qhost, 10, ef, probes=probes,
-                               pipeline=max(1, n_queries // chunk),
-                               stats_out=st)
-        rows.append({
-            "ef_search": ef, "probes_per_shard": probes, "chunk": chunk,
-            "recall_at_10": round(float(recall_at_k(ids, gt, 10)), 4),
-            "qps": round(float(qps), 1),
-            "qps_cv": st.get("qps_cv"),
-        })
+        try:
+            st = {}
+            qps, ids = measure_qps(sh, qhost, 10, ef, probes=probes,
+                                   pipeline=max(1, len(qhost) // chunk),
+                                   stats_out=st)
+            rows.append({
+                "ef_search": ef, "probes_per_shard": probes, "chunk": chunk,
+                "recall_at_10": round(float(recall_at_k(ids, gt, 10)), 4),
+                "qps": round(float(qps), 1),
+                "qps_cv": st.get("qps_cv"),
+            })
+        except Exception as e:  # keep the artifact: record the failure
+            rows.append({"ef_search": ef, "probes_per_shard": probes,
+                         "chunk": chunk, "error": str(e)[:200]})
         print(rows[-1], flush=True)
 
     out = {
@@ -179,14 +203,14 @@ def main():
         "serving_load_s": round(load_s, 1),
         "serving_memory": sh.stats(),
         "device_memory": mem,
-        "build_per_half": build_stats,
+        "build_per_shard": build_stats,
         "sweep": rows,
     }
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/config_e_12m5.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({kk: v for kk, v in out.items()
-                      if kk not in ("sweep", "build_per_half")}))
+                      if kk not in ("sweep", "build_per_shard")}))
 
 
 if __name__ == "__main__":

@@ -61,3 +61,20 @@ def test_from_saved_small_chunks_and_stats(saved):
     # parent skeleton refuses per-shard search with a clear error
     with pytest.raises(RuntimeError, match="released"):
         ld.parent.search(queries, k=5)
+
+
+def test_from_saved_unstacked_mode_matches(saved, monkeypatch):
+    """Tables past XLA's 2^31-element single-buffer limit serve through
+    per-partition arrays (one fused dispatch, no stacked buffer). Forced
+    via env here; must match the stacked path exactly."""
+    pidx, path, queries = saved
+    mesh = jax.make_mesh((1,), ("shard",))
+    d0, i0 = ShardedBlockSearcher.from_saved(path, mesh).search(
+        queries, k=10, ef_search=64)
+    monkeypatch.setenv("TPU_HNSW_UNSTACKED", "1")
+    ld = ShardedBlockSearcher.from_saved(path, jax.make_mesh((1,), ("shard",)))
+    assert ld._unstacked is not None
+    d1, i1 = ld.search(queries, k=10, ef_search=64)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-6)
+    assert ld.stats()["n"] == 8000

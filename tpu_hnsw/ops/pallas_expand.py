@@ -21,9 +21,12 @@ remote completion (docs/ROUND4.md "measurement reckoning") — treat the
 ratios as suspect until the fetch-timed re-measurement lands. r3
 shootout at (1M x 128, Q=4096, p=8, S=256 — scripts/microbench_expand.py,
 benchmarks/expand_shootout.json): XLA int8 gather+einsum 9.4ms, XLA bf16
-13.0ms, this kernel (bf16) 24.2ms; fetch-timed round-4 data says the XLA
-path's true cost at config-D scale is ~25ms/dispatch + ~0.3us per block
-fetched regardless. Correctness: interpret-mode parity vs the XLA
+13.0ms, this kernel (bf16) 24.2ms. FETCH-TIMED (round 4, trustworthy): this
+kernel reads 474ms vs the XLA path's 28ms at the config-D shape
+(Q=512, p=32, 39064 blocks), settling the choice decisively — and the
+XLA path's true cost is ~25ms of per-dispatch fabric overhead plus
+~0.3us per 64KB block fetched, so the dispatch dominates at serving
+chunk sizes either way. Correctness: interpret-mode parity vs the XLA
 expansion math in
 tests/test_pallas_kernels.py::test_pallas_expand_score_matches_xla.
 

@@ -903,6 +903,7 @@ class ShardedBlockSearcher:
         (self.blocks, self.blocks_score, self.blocks_sq, self.block_gids,
          self.centroids, self.centroids_sq, self.score_scales) = (
             out[i] for i in range(7))
+        self._unstacked = None
         self.n_blocks = jax.device_put(
             jnp.asarray([s.n_blocks for s in parts], jnp.int32), sh
         )
@@ -1008,6 +1009,14 @@ class ShardedBlockSearcher:
         devs = list(mesh.devices.reshape(-1))
         ndev = len(devs)
         local_p = p // ndev
+        # XLA limits a single buffer to < 2^31 ELEMENTS (int32 linear
+        # indices): a 12.5M x 512d bf16 stacked table is 6.7e9 elements
+        # and crashes the remote compiler. On a 1-device mesh keep the
+        # state as PER-PARTITION arrays (each under the limit) served by
+        # the unstacked fused program (same one-dispatch fan-out).
+        unstacked = ndev == 1 and (
+            p * b_pad * S * d >= (1 << 31)
+            or os.environ.get("TPU_HNSW_UNSTACKED") == "1")
 
         # per-DEVICE local targets, stream-installed with donation, then
         # stitched into the global sharded arrays ZERO-COPY via
@@ -1016,18 +1025,24 @@ class ShardedBlockSearcher:
         def zeros_on(dev, shape, dtype):
             return jax.device_put(jnp.zeros(shape, dtype), dev)
 
-        loc = {
-            dv: {
-                "blocks": zeros_on(dv, (local_p, b_pad, S, d), dt),
-                "sq": zeros_on(dv, (local_p, b_pad, S), jnp.float32),
-                "cents": zeros_on(dv, (local_p, b_pad, d), jnp.float32),
-                **({"scores": zeros_on(dv, (local_p, b_pad, S, dp),
+        def mk_targets(dv, lp_count):
+            return {
+                "blocks": zeros_on(dv, (lp_count, b_pad, S, d), dt),
+                "sq": zeros_on(dv, (lp_count, b_pad, S), jnp.float32),
+                "cents": zeros_on(dv, (lp_count, b_pad, d), jnp.float32),
+                **({"scores": zeros_on(dv, (lp_count, b_pad, S, dp),
                                        jnp.int8),
-                    "scales": zeros_on(dv, (local_p, b_pad), jnp.float32)}
+                    "scales": zeros_on(dv, (lp_count, b_pad), jnp.float32)}
                    if quant else {}),
             }
-            for dv in devs
-        }
+
+        if unstacked:
+            # one [1, b_pad, ...] target PER PARTITION (slicing a big
+            # stacked array afterwards would copy it and double HBM)
+            per_part = [mk_targets(devs[0], 1) for _ in range(p)]
+            loc = None
+        else:
+            loc = {dv: mk_targets(dv, local_p) for dv in devs}
 
         def _derive(slab, live):
             sf = jnp.where(live[:, :, None], slab.astype(jnp.float32), 0.0)
@@ -1073,8 +1088,8 @@ class ShardedBlockSearcher:
         bg_host = np.full((p, b_pad, S), -1, np.int32)
         for i in range(p):
             dv = devs[i // local_p]
-            li = loc[dv]
-            pi_local = jnp.int32(i % local_p)
+            li = per_part[i] if unstacked else loc[dv]
+            pi_local = jnp.int32(0 if unstacked else i % local_p)
             z = np.load(os.path.join(path, f"part{i}", "blocks.npz"))
             raw = z["blocks"]
             bids_host = z["block_ids"]
@@ -1110,11 +1125,42 @@ class ShardedBlockSearcher:
         # same split _install_blocks uses, so results match in-memory)
         cast = jax.jit(lambda a: a.astype(dt))
         sqsum = jax.jit(lambda a: jnp.sum(a * a, axis=-1))
-        for dv in devs:
-            li = loc[dv]
+        for li in (per_part if unstacked else [loc[dv] for dv in devs]):
             li["cents_dt"] = cast(li["cents"])
             li["c_sq"] = sqsum(li["cents"])
             del li["cents"]
+
+        if unstacked:
+            self._unstacked = []
+            for lp in range(p):
+                li = per_part[lp]
+                ent = {
+                    "blocks": li["blocks"],       # [1, b_pad, S, d]
+                    "sq": li["sq"],
+                    "cents": li["cents_dt"],
+                    "c_sq": li["c_sq"],
+                    "gids": jax.device_put(bg_host[lp:lp + 1], devs[0]),
+                    "nb": jnp.int32(int(part_meta[lp]["n_blocks"])),
+                    "scores": li.get("scores", li["blocks"]),
+                    "scales": li.get("scales"),
+                }
+                self._unstacked.append(ent)
+            jax.block_until_ready([e["blocks"] for e in self._unstacked])
+            self.blocks = self.blocks_score = self.blocks_sq = None
+            self.block_gids = self.centroids = self.centroids_sq = None
+            self.score_scales = None
+            self.n_blocks = None
+            self._has_scale = quant
+            self._max_blocks = b_max
+            self.two_stage = True
+            self.rerank_width = BlockHnswIndex(cfg,
+                                               block_size=S).rerank_width
+            self._fn_cache = {}
+            self._hash_routes_cache = {}
+            self._router_centroids_dev = None
+            self._route_dev_fns = {}
+            return self
+        self._unstacked = None
         jax.block_until_ready([loc[dv]["blocks"] for dv in devs])
 
         def stitch(name, shape, dtype):
@@ -1285,6 +1331,52 @@ class ShardedBlockSearcher:
         )
         return jax.jit(fn)
 
+    def _make_fn_unstacked(self, k: int, probes: int, rerank: int,
+                           route_width: int):
+        """Fused one-dispatch fan-out over PER-PARTITION arrays — the
+        1-device serving program for tables past XLA's 2^31-element
+        single-buffer limit (see from_saved). Same math as the stacked
+        shard_map body; the "merge" is a local concat+top-k (one
+        device holds every partition)."""
+        from tpu_hnsw.index.block import (
+            _expand_blocks_2stage_body,
+            _route_exact_body,
+        )
+
+        cfg = self.parent.cfg
+        metric = cfg.metric
+        d = cfg.dim
+        dedup = getattr(self.parent, "has_replicas", False)
+
+        def body(parts, queries, routes):
+            q = queries.astype(jnp.float32)
+            q_sq = D.squared_norms(q)
+            outs_d, outs_i = [], []
+            for pid, ent in enumerate(parts):
+                bids = _route_exact_body(
+                    ent["cents"][0], ent["c_sq"][0], q, q_sq, ent["nb"],
+                    p=probes, metric=metric)
+                sc, ids = _expand_blocks_2stage_body(
+                    ent["scores"][0], ent["sq"][0], ent["gids"][0],
+                    ent["blocks"][0].reshape(-1, d), q, q_sq, bids,
+                    k=k, rerank=rerank, metric=metric,
+                    score_scale=(None if ent["scales"] is None
+                                 else ent["scales"][0]))
+                selected = jnp.any(routes == pid, axis=1)
+                sc = jnp.where(selected[:, None] & (ids >= 0), sc, jnp.inf)
+                ids = jnp.where(jnp.isfinite(sc), ids, -1)
+                outs_d.append(sc)
+                outs_i.append(ids)
+            dloc = jnp.concatenate(outs_d, axis=1)
+            iloc = jnp.concatenate(outs_i, axis=1)
+            if dedup:
+                dloc = T.mask_duplicate_ids(dloc, iloc)
+            vals, sel = T.topk_smallest(dloc, k)
+            ids = jnp.take_along_axis(iloc, sel, axis=1)
+            return vals, jnp.where(jnp.isfinite(vals), ids, -1)
+
+        return jax.jit(body)
+
     def search_device(self, queries, k: int = 10, ef_search: int = 40,
                       probes: int | None = None, route_k: int | None = None,
                       merge: str = "all_gather"):
@@ -1312,6 +1404,12 @@ class ShardedBlockSearcher:
                 nrm = np.linalg.norm(qh, axis=1, keepdims=True)
                 qh = qh / np.maximum(nrm, 1e-12)
             qj = jnp.asarray(qh)
+        if getattr(self, "_unstacked", None) is not None:
+            key = ("u", k, probes, routes.shape[1])
+            if key not in self._fn_cache:
+                self._fn_cache[key] = self._make_fn_unstacked(
+                    k, probes, max(self.rerank_width, k), routes.shape[1])
+            return self._fn_cache[key](self._unstacked, qj, routes)
         key = (k, probes, routes.shape[1], merge)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_fn(
@@ -1334,13 +1432,26 @@ class ShardedBlockSearcher:
         return d, np.asarray(ids)
 
     def stats(self) -> dict:
-        comp = {
-            name: getattr(self, name).nbytes
-            for name in ("blocks", "blocks_score", "blocks_sq", "block_gids",
-                         "centroids", "centroids_sq")
-        }
-        if self.blocks_score is self.blocks:  # bf16 alias: one buffer
-            comp["blocks_score"] = 0
+        if getattr(self, "_unstacked", None) is not None:
+            comp = {}
+            for ent in self._unstacked:
+                for nm, key2 in (("blocks", "blocks"), ("blocks_score",
+                                 "scores"), ("blocks_sq", "sq"),
+                                 ("block_gids", "gids"),
+                                 ("centroids", "cents"),
+                                 ("centroids_sq", "c_sq")):
+                    a = ent.get(key2)
+                    nb = (0 if a is None or (key2 == "scores"
+                          and a is ent["blocks"]) else a.nbytes)
+                    comp[nm] = comp.get(nm, 0) + nb
+        else:
+            comp = {
+                name: getattr(self, name).nbytes
+                for name in ("blocks", "blocks_score", "blocks_sq",
+                             "block_gids", "centroids", "centroids_sq")
+            }
+            if self.blocks_score is self.blocks:  # bf16 alias: one buffer
+                comp["blocks_score"] = 0
         total = sum(comp.values())
         n = self.parent.n
         return {
