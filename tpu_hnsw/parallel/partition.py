@@ -1134,6 +1134,11 @@ class ShardedBlockSearcher:
             self._unstacked = []
             for lp in range(p):
                 li = per_part[lp]
+                # NOTE: in bf16-alias mode "scores" is OMITTED (not a
+                # second pytree leaf of the same buffer) — the serving
+                # body falls back to ent["blocks"]; passing one device
+                # buffer as two execute operands is exactly the pattern
+                # the remote compile helper rejects
                 ent = {
                     "blocks": li["blocks"],       # [1, b_pad, S, d]
                     "sq": li["sq"],
@@ -1141,9 +1146,10 @@ class ShardedBlockSearcher:
                     "c_sq": li["c_sq"],
                     "gids": jax.device_put(bg_host[lp:lp + 1], devs[0]),
                     "nb": jnp.int32(int(part_meta[lp]["n_blocks"])),
-                    "scores": li.get("scores", li["blocks"]),
                     "scales": li.get("scales"),
                 }
+                if "scores" in li:
+                    ent["scores"] = li["scores"]
                 self._unstacked.append(ent)
             jax.block_until_ready([e["blocks"] for e in self._unstacked])
             self.blocks = self.blocks_score = self.blocks_sq = None
@@ -1356,8 +1362,9 @@ class ShardedBlockSearcher:
                 bids = _route_exact_body(
                     ent["cents"][0], ent["c_sq"][0], q, q_sq, ent["nb"],
                     p=probes, metric=metric)
+                score_src = ent.get("scores", ent["blocks"])
                 sc, ids = _expand_blocks_2stage_body(
-                    ent["scores"][0], ent["sq"][0], ent["gids"][0],
+                    score_src[0], ent["sq"][0], ent["gids"][0],
                     ent["blocks"][0].reshape(-1, d), q, q_sq, bids,
                     k=k, rerank=rerank, metric=metric,
                     score_scale=(None if ent["scales"] is None
@@ -1441,8 +1448,7 @@ class ShardedBlockSearcher:
                                  ("centroids", "cents"),
                                  ("centroids_sq", "c_sq")):
                     a = ent.get(key2)
-                    nb = (0 if a is None or (key2 == "scores"
-                          and a is ent["blocks"]) else a.nbytes)
+                    nb = 0 if a is None else a.nbytes
                     comp[nm] = comp.get(nm, 0) + nb
         else:
             comp = {
