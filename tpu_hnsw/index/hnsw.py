@@ -523,7 +523,9 @@ class HnswIndex:
 
         Tombstoned rows stay allocated (flat arrays have no page
         reclamation); a save/load round-trip of live vectors into a fresh
-        index reclaims space. Returns the number of repaired elements.
+        index reclaims space. Returns the number of repaired neighbor
+        lists summed over all levels (a node repaired at two levels
+        counts twice, mirroring upstream's per-list repair loop).
         """
         from tpu_hnsw.index import select as SEL
         from tpu_hnsw.index.search import descend_seeds, search_layer
@@ -560,7 +562,7 @@ class HnswIndex:
             targets = nodes[affected_rows] if lc > 0 else np.where(affected_rows)[0]
             if targets.size == 0:
                 continue
-            repaired += int(targets.size) if lc == 0 else 0
+            repaired += int(targets.size)
             bpad = B.next_pow2(len(targets))
             ids_pad = np.full(bpad, sent, np.int32)
             ids_pad[: len(targets)] = targets
