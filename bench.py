@@ -207,12 +207,30 @@ def main():
     # every round so it cannot regress silently (VERDICT r2 #3)
     graph_extra = {}
     if with_graph:
-        t0 = time.perf_counter()
-        gidx = HnswIndex(cfg).build(base)
-        jax.block_until_ready(gidx.graph.neighbors0)
-        np.asarray(gidx.graph.levels[:1])  # drain: real fetch
-        g_build_s = time.perf_counter() - t0
+        def g_timed_build(inp):
+            t0 = time.perf_counter()
+            gi = HnswIndex(cfg).build(inp)
+            jax.block_until_ready(gi.graph.neighbors0)
+            np.asarray(gi.graph.levels[:1])  # drain: real fetch
+            return time.perf_counter() - t0, gi
+
+        # same protocol as the block engine above: one warmup build pays
+        # XLA compilation (remote compiles run ~35s/program cold on this
+        # fabric and the bulk path spans ~15 programs — r4's 342.8s
+        # "build time" was mostly compile, measured by cold-vs-warm
+        # builds), then the median of three post-warmup builds is the
+        # build-throughput figure, exactly as the header documents
+        g_warm_s, gidx = g_timed_build(base)
+        g_runs = [g_warm_s]
+        for _ in range(3):
+            del gidx
+            t, gidx = g_timed_build(base)
+            g_runs.append(t)
+        g_build_s = float(np.median(g_runs[1:]))
         g_build_stages = getattr(gidx, "build_stats", {}).get("stages", {})
+        g_build_stages = {**g_build_stages,
+                          "warmup_build_s": round(g_warm_s, 1),
+                          "build_runs_s": [round(t, 2) for t in g_runs[1:]]}
         # operating points, cheapest first: (descent_ef/seeds, ef_search,
         # expand, max_steps) — the (seeds, steps) frontier measured in
         # benchmarks/route_scan2.json. Under route=auto the 1M graph

@@ -1,6 +1,7 @@
 """Bulk (cluster) construction: quality, invariants, interop with waves."""
 
 import numpy as np
+import pytest
 
 from tpu_hnsw.config import HnswConfig, Metric
 from tpu_hnsw.index.flat import FlatIndex
@@ -60,3 +61,38 @@ def test_bulk_save_load_roundtrip(tmp_path):
     idx2 = HnswIndex.load(str(tmp_path / "b"))
     d2, i2 = idx2.search(queries, k=5, ef_search=40)
     assert (i1 == i2).all()
+
+
+def test_bulk_device_input_matches_host_input():
+    """Device-resident ingest (r5): a jax.Array input takes the bulk
+    path with on-device validation/normalization and must produce the
+    SAME graph as the host-input build (both routes now share the
+    device k-means + device member pack, index/build_cluster.py)."""
+    import jax.numpy as jnp
+
+    N = 6000
+    base, queries = synthetic_clustered(N, 16, n_queries=20, seed=31)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, seed=3)
+    a = HnswIndex(cfg, capacity=N)
+    a.build(base, mode="bulk")
+    b = HnswIndex(cfg, capacity=N)
+    b.build(jnp.asarray(base), mode="bulk")
+    assert (np.asarray(a.graph.neighbors0) == np.asarray(b.graph.neighbors0)).all()
+    assert (np.asarray(a.graph.levels) == np.asarray(b.graph.levels)).all()
+    da, ia = a.search(queries, k=10, ef_search=40)
+    db, ib = b.search(queries, k=10, ef_search=40)
+    assert (ia == ib).all()
+
+
+def test_bulk_device_input_rejects_nan_and_dim():
+    import jax.numpy as jnp
+
+    base, _ = synthetic_clustered(30000, 16, n_queries=1, seed=32)
+    cfg = HnswConfig(dim=16, m=8, ef_construction=32, seed=3)
+    bad = base.copy()
+    bad[7, 3] = np.nan
+    with pytest.raises(ValueError, match="NaN or infinity"):
+        HnswIndex(cfg, capacity=30000).build(jnp.asarray(bad))
+    with pytest.raises(ValueError, match="dimensions"):
+        HnswIndex(cfg, capacity=30000).build(
+            jnp.asarray(base[:, :8]), mode="bulk")

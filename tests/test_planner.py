@@ -23,16 +23,18 @@ class TestCostModel:
         # asymptotically linear: 10x rows ~ <=10x slower, >5x slower
         assert 5 < q1 / q2 <= 10.5
 
-    def test_model_reproduces_round3_measurements(self):
-        """The defaults must stay anchored to the measured 1M x 128
-        numbers (flat 93k / block 212k / graph 31.7k QPS) within ~25%,
-        else the plan ordering the planner promises is fiction."""
+    def test_model_reproduces_fetch_timed_measurements(self):
+        """The defaults must stay anchored to the HONEST (fetch-timed,
+        round-4 harness — docs/ROUND4.md debunked the r2/r3 timer) 1M x
+        128 measurements: flat 90.7k / block 123.6k / graph 48.0k QPS,
+        within ~25%, else the plan ordering the planner promises is
+        fiction."""
         flat = estimate_flat_qps(1_000_000, 128)
         block = estimate_block_qps(1_000_000, 128)
         graph = estimate_graph_qps(1_000_000, 128)
-        assert 0.75 * 93_000 < flat < 1.25 * 93_000
-        assert 0.75 * 212_000 < block < 1.35 * 212_000
-        assert 0.75 * 31_700 < graph < 1.35 * 31_700
+        assert 0.75 * 90_700 < flat < 1.25 * 90_700
+        assert 0.75 * 123_600 < block < 1.25 * 123_600
+        assert 0.75 * 48_000 < graph < 1.25 * 48_000
         # and the measured ordering holds
         assert block > flat > graph
 

@@ -28,16 +28,30 @@ def _enable_compile_cache() -> None:
 
     if jax.config.jax_compilation_cache_dir:  # user already configured it
         return
-    default = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        str(_pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
-    )
-    try:
-        _pathlib.Path(default).mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", default)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # read-only install dir etc. — cache is best-effort
-        pass
+    # prefer a repo-local cache when the package runs from a writable
+    # checkout (keeps this fabric's remote-compile results next to the
+    # code); otherwise a user cache dir — never silently no-op on
+    # read-only installs (ADVICE r4 #1)
+    repo_default = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    user_default = _pathlib.Path(
+        _os.path.expanduser("~")) / ".cache" / "tpu_hnsw" / "jax"
+    candidates = [_os.environ.get("JAX_COMPILATION_CACHE_DIR"),
+                  str(repo_default)
+                  if _os.access(repo_default.parent, _os.W_OK) else None,
+                  str(user_default)]
+    for default in filter(None, candidates):
+        try:
+            _pathlib.Path(default).mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", default)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            return
+        except Exception:  # unwritable candidate: try the next one
+            continue
+    import logging
+
+    logging.getLogger(__name__).info(
+        "tpu_hnsw: persistent JAX compilation cache disabled "
+        "(no writable cache directory)")
 
 
 _enable_compile_cache()

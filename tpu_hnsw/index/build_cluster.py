@@ -83,6 +83,48 @@ def _cluster_batch(vectors, mem, sentinel, *, k_cand: int, metric: Metric):
     return jnp.where(jnp.isfinite(vals), ids, sentinel)
 
 
+@functools.partial(jax.jit, static_argnames=("overlap",))
+def _route_chunk(xb, cj, *, overlap: int):
+    """Nearest-``overlap`` centroid ids for one vector chunk (device)."""
+    sc = D.pairwise_scores(xb, cj, Metric.L2)
+    _, t = T.topk_smallest(sc, overlap)
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("L", "cs_cap", "overlap"))
+def _pack_members_device(top_c, n_real, sentinel, *, L: int, cs_cap: int,
+                         overlap: int):
+    """Pack per-cluster member lists ON DEVICE: top_c [n, overlap]
+    (each row's nearest ``overlap`` centroid ids) -> members [L, cs_cap]
+    int32, sentinel padded.
+
+    The r4 host version (numpy argsort + fancy-index stores over 1M
+    rows) was 40s of the 43.4s kmeans_route_pack stage at 1M; this is
+    the same run-length scatter as :func:`_union_per_element`, one
+    jitted program, nothing leaving HBM. Rows past ``n_real`` (pad) and
+    overflowing slots scatter into drop buckets.
+    """
+    n = top_c.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    rows_live = ids < n_real
+    members = jnp.full((L + 1, cs_cap), sentinel, jnp.int32)
+    cur = jnp.zeros((L + 1,), jnp.int32)
+    for o in range(overlap):
+        a = jnp.where(rows_live, top_c[:, o].astype(jnp.int32), L)
+        order = jnp.argsort(a, stable=True)
+        a_s = a[order]
+        first = jnp.concatenate([jnp.ones((1,), bool), a_s[1:] != a_s[:-1]])
+        run_start = jax.lax.cummax(jnp.where(first, ids, 0))
+        occ = ids - run_start
+        dst = cur[a_s] + occ
+        ok = (dst < cs_cap) & (a_s < L)
+        members = members.at[
+            jnp.where(ok, a_s, L), jnp.where(ok, dst, 0)
+        ].set(jnp.where(ok, ids[order], sentinel), mode="drop")
+        cur = (members != sentinel).sum(axis=1).astype(jnp.int32)
+    return members[:L]
+
+
 @functools.partial(jax.jit, static_argnames=("n_bucket", "overlap"))
 def _union_per_element(members, cand, sentinel, *, n_bucket: int, overlap: int):
     """Union each element's candidate rows from its clusters:
@@ -197,7 +239,10 @@ def _subset_topk(g: G.HnswGraph, q_ids, x_ids, *, k: int, metric: Metric,
         v3, sel = T.topk_smallest(d2, k)
         return v3, jnp.take_along_axis(i2, sel, axis=1)
 
-    return jax.lax.fori_loop(0, nb, body, (best_d, best_i))
+    best_d, best_i = jax.lax.fori_loop(0, nb, body, (best_d, best_i))
+    # a block with fewer than k finite rows surfaces INF-scored ids —
+    # mask them to sentinel so selection can never keep a phantom edge
+    return best_d, jnp.where(jnp.isfinite(best_d), best_i, sent)
 
 
 # --------------------------------------------------------------------------
@@ -248,7 +293,24 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
         stages[name] = round(stages.get(name, 0.0) + now - _t[0], 3)
         _t[0] = now
 
-    x = index._prep(data)
+    finite = None
+    if isinstance(data, jax.Array) and data.ndim == 2:
+        # device-resident ingest (production shape: embeddings produced
+        # on the same accelerator) — validation/normalization run on
+        # device, nothing round-trips the host link (~22 MB/s relay on
+        # this fabric: the r4 host-input upload_vectors stage alone was
+        # 23.3s of the 1M build)
+        if data.shape[1] != cfg.dim:
+            raise ValueError(
+                f"expected {cfg.dim} dimensions, not {data.shape[1]}")
+        x = data.astype(jnp.float32)
+        from tpu_hnsw.index.block import _all_finite, _normalize_keep_dtype
+
+        finite = _all_finite(x)  # dispatched now, checked at the end
+        if cfg.metric.needs_normalized:
+            x = _normalize_keep_dtype(x)
+    else:
+        x = index._prep(data)
     n = x.shape[0]
     index._ensure_graph(n)
     g = index.graph
@@ -289,42 +351,30 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
         overlap_eff = 1
     else:
         overlap_eff = overlap
+        # k-means on the (already device-resident) vectors — g.vectors
+        # was populated by the upload scatter above, so routing never
+        # re-reads the input
+        vecs_n = g.vectors[:n]
         centroids, _ = KM.kmeans(
-            x, L, iters=kmeans_iters, seed=cfg.seed, sample=min(n, 65536),
-            balance=False, assign_full=False,
+            vecs_n, L, iters=kmeans_iters, seed=cfg.seed,
+            sample=min(n, 65536), balance=False, assign_full=False,
         )
-        # top-`overlap` centroid routing, blockwise ([n, L] would not fit)
+        # top-`overlap` centroid routing, blockwise ([n, L] would not
+        # fit), results staying on device
         cj = jnp.asarray(centroids)
-
-        @jax.jit
-        def _route(xb):
-            sc = D.pairwise_scores(xb, cj, Metric.L2)
-            _, t = T.topk_smallest(sc, overlap)
-            return t
-
         blk = 131072
+        n_pad_route = ((n + blk - 1) // blk) * blk
+        vr = _pad_rows(vecs_n, n_pad_route, 0.0)
         parts = []
-        for s in range(0, n, blk):
-            xb = x[s : s + blk]
-            if xb.shape[0] < blk:
-                xb = np.concatenate(
-                    [xb, np.zeros((blk - xb.shape[0], x.shape[1]), x.dtype)]
-                )
-            parts.append(np.asarray(_route(jnp.asarray(xb))))
-        top_c = np.concatenate(parts, axis=0)[:n]  # [n, overlap]
+        for s in range(0, n_pad_route, blk):
+            xb = jax.lax.dynamic_slice_in_dim(vr, s, blk, axis=0)
+            parts.append(_route_chunk(xb, cj, overlap=overlap))
+        top_c = jnp.concatenate(parts, axis=0)  # [n_pad_route, overlap]
         cs_cap = _pad_pow2(4 * cluster_size)
-        members = np.full((L, cs_cap), sent, np.int32)
-        cur = np.zeros(L, np.int64)
-        for o in range(overlap):
-            a = top_c[:, o]
-            order = np.argsort(a, kind="stable")
-            a_s = a[order]
-            pos = np.arange(n) - np.searchsorted(a_s, a_s)
-            dst = cur[a_s] + pos
-            okm = dst < cs_cap
-            members[a_s[okm], dst[okm]] = ids[order][okm]
-            cur = (members != sent).sum(axis=1)
-        members_j = jnp.asarray(members)
+        members_j = _pack_members_device(
+            top_c, jnp.int32(n), jnp.int32(sent),
+            L=L, cs_cap=cs_cap, overlap=overlap,
+        )
     _mark("kmeans_route_pack", members_j)
 
     CS = members_j.shape[1]
@@ -421,18 +471,26 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
         write_level0(link(nid_p, rci, rcd, n_pad, cfg.m0, cfg.ef_construction))
     _mark("nn_descent_refine", g.neighbors0)
 
-    # ---- upper levels: exact subset top-k + link
+    # ---- upper levels: exact subset top-k + link.
+    # All levels whose subset fits SMALL_BUCKET share ONE padded shape
+    # family (and one static k), so a build compiles the four level
+    # programs once instead of once per level — each remote compile on
+    # this fabric is ~35s, and r4's per-level shapes made upper_levels
+    # the 139.6s top stage at 1M. Level 1 (~n/m elements) keeps its own
+    # pow2 family; levels >= 2 are all tiny.
+    SMALL_BUCKET = 4096
     for lc in range(1, int(levels.max()) + 1):
         subset = np.where(levels >= lc)[0].astype(np.int32)
         if len(subset) <= 1:
             continue
         M = len(subset)
-        chunk_u = min(8192, _pad_pow2(M))
+        bucket = max(_pad_pow2(M), min(SMALL_BUCKET, _pad_pow2(n)))
+        chunk_u = min(8192, bucket)
         m_pad = ((M + chunk_u - 1) // chunk_u) * chunk_u
-        x_pad = _pad_pow2(M)
+        x_pad = bucket
         xblock = min(16384, x_pad)
         sub_j = _pad_rows(jnp.asarray(subset), max(m_pad, x_pad), sent)
-        k_up = int(min(cfg.ef_construction, M - 1))
+        k_up = int(min(cfg.ef_construction, bucket - 1))
         nbr_parts, d_parts = [], []
         for s in range(0, m_pad, chunk_u):
             q_ids = jax.lax.dynamic_slice_in_dim(sub_j, s, chunk_u, axis=0)
@@ -482,6 +540,9 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
 
     _mark("upper_levels", g.upper_nbrs)
 
+    if finite is not None and not bool(finite):
+        # upstream vector_in rejects NaN and infinity values
+        raise ValueError("NaN or infinity values are not allowed")
     index.n = n
     index._levels_host.extend(int(l) for l in levels)
     top = int(levels.max())

@@ -178,7 +178,11 @@ class HnswIndex:
         (see index/build_cluster.py), waves are the incremental
         pgvector-faithful path.
         """
-        x = self._prep(data)
+        device_in = isinstance(data, jax.Array) and data.ndim == 2
+        # device-resident inputs take the bulk path without a host
+        # round-trip (validated/normalized on device in build_bulk);
+        # the wave path below needs host numpy and pulls them back
+        x = data if device_in else self._prep(data)
         if self.capacity == 0 and self.graph is None:
             self.capacity = max(self.cfg.max_elements, x.shape[0])
         if mode not in ("auto", "bulk", "wave"):
@@ -198,6 +202,8 @@ class HnswIndex:
 
             build_bulk(self, x)
         else:
+            if device_in:
+                x = self._prep(np.asarray(x))
             self.add(x, _pre=False)
         return self
 

@@ -26,11 +26,16 @@ this package does (candidates cheap and dense, final scores exact):
    flagship (:class:`BlockHnswIndex`) or the classical graph
    (:class:`HnswIndex`) — reusing their build, DML, persistence, and
    serving machinery unchanged.
-2. **Exact sparse rerank.** The engine returns ``rerank_k`` candidate
-   ids; their true sparse distances are computed exactly by densifying
-   the *query* onto the observed vocabulary (``q_dense [Q, V]``, a few
-   MB) and gathering ``q_dense[rank]`` at each candidate's stored
-   coordinates — ``[Q, C, K]`` gathers + one fused multiply-reduce.
+2. **Exact sparse rerank, gather-only.** The engine returns
+   ``rerank_k`` candidate ids; their true sparse distances are computed
+   exactly by binary-searching each candidate's stored coordinates
+   ``[Q, C, K]`` in the *query's own sorted coordinate list*
+   ``[Q, Kq]`` (a vmapped ``searchsorted`` + equality check + fused
+   multiply-reduce). Nothing is ever densified over the vocabulary
+   axis — host memory is O(Q·Kq) and the compiled rerank is keyed on
+   (C, K, Q, Kq) only, so vocabulary-extending :meth:`add` calls never
+   recompile it (VERDICT r4 #7: the earlier ``q_dense [Q, V]``
+   densification was 16 GB at this module's own stated limits).
    Final distances are exact-by-construction; only *which* candidates
    were generated is approximate, widened via ``rerank_k``.
 
@@ -266,17 +271,24 @@ class SparseHnswIndex:
 
     # -- search -----------------------------------------------------------
 
-    def _make_rerank(self, C: int, K: int, Q: int, V: int):
+    def _make_rerank(self, C: int, K: int, Q: int, Kq: int):
         metric = self.metric
 
-        def rerank(idx, val, sq, q_dense, q_sq, cids, k):
+        def rerank(idx, val, sq, q_ranks, q_vals, q_sq, cids, k):
             safe = jnp.clip(cids, 0)
             ci = jnp.take(idx, safe, axis=0)          # [Q, C, K] ranks
             cv = jnp.take(val, safe, axis=0)          # [Q, C, K]
             csq = jnp.take(sq, safe, axis=0)          # [Q, C]
-            g = jnp.take_along_axis(
-                q_dense, jnp.clip(ci, 0).reshape(Q, C * K), axis=1
-            ).reshape(Q, C, K)
+            # gather-only query lookup: binary-search every candidate
+            # coordinate in this query's sorted coordinate list
+            # (q_ranks [Q, Kq], sentinel-padded past any valid rank) —
+            # the vocabulary axis never materializes anywhere
+            flat = jnp.clip(ci, 0).reshape(Q, C * K)
+            pos = jax.vmap(jnp.searchsorted)(q_ranks, flat)
+            pos = jnp.clip(pos, 0, Kq - 1)
+            hit = jnp.take_along_axis(q_ranks, pos, axis=1) == flat
+            g = jnp.where(hit, jnp.take_along_axis(q_vals, pos, axis=1),
+                          0.0).reshape(Q, C, K)
             g = jnp.where(ci >= 0, g, 0.0)
             dot = jnp.sum(g * cv, axis=-1)            # [Q, C] exact f32
             if metric is Metric.L2:
@@ -322,21 +334,33 @@ class SparseHnswIndex:
         _, cids = self.inner.search(proj, k=cand, **kw)
         cids = np.asarray(cids)
 
-        V = max(len(self._vocab), 1)
         Q = queries.n
-        q_dense = np.zeros((Q, V), np.float32)
-        rows = np.repeat(np.arange(Q), queries.nnz_max)
-        ok = (ranks >= 0).ravel()
-        q_dense[rows[ok], ranks.ravel()[ok]] = queries.values.ravel()[ok]
+        Kq = max(queries.nnz_max, 1)
+        # per-query sorted coordinate lists, OOV/pad rows pushed past
+        # every valid rank by the sentinel (ranks < PROJ_VOCAB_MAX <<
+        # sentinel, so a clipped search position landing on padding
+        # always fails the equality check in the kernel)
+        sent = np.int32(PROJ_VOCAB_MAX + 1)
+        qr = np.where(ranks >= 0, ranks, sent)
+        if qr.shape[1] < Kq:
+            qr = np.pad(qr, ((0, 0), (0, Kq - qr.shape[1])),
+                        constant_values=sent)
+        order = np.argsort(qr, axis=1, kind="stable")
+        qr_sorted = np.take_along_axis(qr, order, axis=1).astype(np.int32)
+        qv = np.where(ranks >= 0, queries.values, 0.0).astype(np.float32)
+        if qv.shape[1] < Kq:
+            qv = np.pad(qv, ((0, 0), (0, Kq - qv.shape[1])))
+        qv_sorted = np.take_along_axis(qv, order, axis=1)
         q_sq = (queries.values**2).sum(1)  # full norm, OOV included
 
         idx, val, sq = self._device_store()
         C, K = cids.shape[1], idx.shape[1]
-        key = (C, K, Q, V)
+        key = (C, K, Q, Kq)  # vocab-size-free: add() never recompiles
         fn = self._rerank_fns.get(key)
         if fn is None:
-            fn = self._rerank_fns[key] = self._make_rerank(C, K, Q, V)
-        d, ids = fn(idx, val, sq, jnp.asarray(q_dense), jnp.asarray(q_sq),
+            fn = self._rerank_fns[key] = self._make_rerank(C, K, Q, Kq)
+        d, ids = fn(idx, val, sq, jnp.asarray(qr_sorted),
+                    jnp.asarray(qv_sorted), jnp.asarray(q_sq),
                     jnp.asarray(cids.astype(np.int32)), k)
         return np.asarray(d), np.asarray(ids, np.int64)
 

@@ -1091,7 +1091,16 @@ class ShardedBlockSearcher:
             li = per_part[i] if unstacked else loc[dv]
             pi_local = jnp.int32(0 if unstacked else i % local_p)
             z = np.load(os.path.join(path, f"part{i}", "blocks.npz"))
-            raw = z["blocks"]
+            bb = part_meta[i].get("blocks_bin")
+            if bb is not None:
+                # r5+ layout: raw-binary blob (native writer) — memmap
+                # it so host memory stays one slab, never the full shard
+                raw = np.memmap(
+                    os.path.join(path, f"part{i}", "blocks.bin"),
+                    dtype=np.dtype(bb["dtype"]), mode="r",
+                    shape=tuple(bb["shape"]))
+            else:  # pre-r5: blocks member inside the npz
+                raw = z["blocks"]
             bids_host = z["block_ids"]
             gmap = parent.parts[i]._global_ids.astype(np.int32)
             B_i = raw.shape[0]

@@ -7,23 +7,25 @@ and a plain sequential scan per query. This module is that decision for
 the TPU engines, priced on the measured hardware model of
 ``docs/ARCHITECTURE.md`` §5 and the round-3 measurement campaign:
 
-- random row gather: ~50M rows/s, independent of row bytes — classical
-  graph traversal is priced by rows touched;
+- random row gather: ~100M rows/s effective — classical graph
+  traversal is priced by rows touched;
 - effective dense-scan rate: ~2.4e13 MAC/s f32 *end-to-end* (the flat
-  exact scan measures 93k QPS at 1M×128, i.e. 2·n·d MACs per query
-  including top-k + exact rerank overheads);
+  exact scan fetch-times at 90.7k QPS at 1M×128, i.e. 2·n·d MACs per
+  query including top-k + exact rerank overheads);
 - block expansion: XLA materializes the [batch, probes, S, d] gather of
   probed blocks, so the stage is bandwidth-bound on writing + re-reading
-  that intermediate (~120 GB/s effective, int8 scoring copy);
+  that intermediate (~70 GB/s effective after the unoverlapped share of
+  the ~25ms big-gather dispatch; raw marginal gather is ~200 GB/s);
 - per-dispatch fabric latency ~2 ms — small batches are dispatch-bound.
 
 Like upstream's estimator, these are *relative* costs for picking a
-plan, not wall-clock promises: the constants default to the values
-measured on this fabric and are overridable (``HardwareModel``) or
-re-measurable on the live device (:func:`calibrate`). At the round-3
-operating points the model reproduces all three measured 1M×128 numbers
-within ~15% (flat 90k est / 93k meas; block 204k / 212k; graph 36k /
-32k).
+plan, not wall-clock promises: the constants default to values anchored
+to the round-4 FETCH-TIMED measurements on this fabric (the round-2/3
+timing harness was debunked, docs/ROUND4.md) and are overridable
+(``HardwareModel``) or re-measurable on the live device
+(:func:`calibrate`). At the honest operating points the model
+reproduces all three measured 1M×128 numbers within ~5% (flat 89.6k
+est / 90.7k meas; block 124.5k / 123.6k; graph 48.4k / 48.0k).
 
 The one decision upstream's planner cannot make — "will the ANN engine
 reach the requested recall on THIS data?" — is handled the way the
@@ -50,16 +52,33 @@ __all__ = [
 
 @dataclasses.dataclass(frozen=True)
 class HardwareModel:
-    """Measured per-chip constants (ARCHITECTURE.md §5 / round-3 bench)."""
+    """Per-chip cost constants.
 
-    gather_rows_per_s: float = 50e6  # random row gather, row-bound
+    Two calibrations exist, deliberately different in scale:
+
+    - **Defaults (here): end-to-end effective rates**, anchored so the
+      three estimators reproduce the round-4 FETCH-TIMED headline
+      measurements at 1M x 128 (flat 90.7k / block 123.6k @ probes=8 /
+      graph 48.0k QPS, BENCH_r04.json) — serving-harness overheads
+      (dispatch pipelining, top-k, result fetch) are folded into the
+      rates. These are what ``choose_engine`` should price plans with.
+    - :func:`calibrate` measures **raw kernel rates** with fetch-timed
+      microbenches (r5 on this chip: gather 178M rows/s, dense 7.5e13
+      MAC/s, expand 200 GB/s — within 2x of the
+      ``benchmarks/expand_sweep.json`` probes). Raw rates run ~2-3x
+      above end-to-end; use them for *relative* pricing on a new
+      fabric, not as absolute QPS predictions.
+    """
+
+    gather_rows_per_s: float = 100e6  # random row gather, row-bound
     f32_macs_per_s: float = 2.4e13   # end-to-end dense scan incl. top-k
-    # block-expansion gather intermediate; 129 GB/s measured at the
-    # expand-shootout shape (ops/pallas_expand.py docstring), anchored
-    # here at a conservative 120e9 across shapes
-    expand_bytes_per_s: float = 120e9
+    # block-expansion stage effective rate: raw marginal gather is
+    # ~200-210 GB/s (expand_sweep.json), but the serving program's
+    # unoverlapped share of the ~25ms big-gather dispatch (ROUND4.md)
+    # lands the end-to-end stage rate at ~70 GB/s
+    expand_bytes_per_s: float = 70e9
     dispatch_s: float = 2e-3         # per-program fabric dispatch
-    step_overhead_s: float = 5e-3    # per beam step: pool top-k, masks
+    step_overhead_s: float = 5.5e-3  # per beam step: pool top-k, masks
 
 
 @dataclasses.dataclass(frozen=True)
@@ -282,11 +301,19 @@ def calibrate(n: int = 200_000, dim: int = 128, *, batch: int = 2048,
         return x + 1.0
 
     def timeit(fn, *args, iters=10):
-        jax.block_until_ready(fn(*args))
+        # Fetch-timed (round-4 timing truth, docs/ROUND4.md): on this
+        # fabric jax.block_until_ready can return BEFORE remote
+        # completion, so the timed region must end with a real
+        # device->host fetch. Every measured program returns a scalar
+        # reduction, so the fetch itself is ~free; the device executes
+        # serially, so fetching the LAST enqueued result bounds all
+        # ``iters`` dispatches truthfully (the measure_qps drain
+        # pattern, utils/evalharness.py).
+        np.asarray(fn(*args))  # warm compile + fetch
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        np.asarray(out)
         return (time.perf_counter() - t0) / iters
 
     t_dispatch = timeit(tiny, jnp.float32(1.0), iters=30)
