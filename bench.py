@@ -218,19 +218,30 @@ def main():
         # XLA compilation (remote compiles run ~35s/program cold on this
         # fabric and the bulk path spans ~15 programs — r4's 342.8s
         # "build time" was mostly compile, measured by cold-vs-warm
-        # builds), then the median of three post-warmup builds is the
-        # build-throughput figure, exactly as the header documents
+        # builds: 149.8s cold vs 38.0s warm at 1M), then the median of
+        # three post-warmup DEVICE-RESIDENT builds is the headline
+        # build figure (same ingest mode as the block engine's), with
+        # one host-input build reported alongside (pays the ~22MB/s
+        # relay; PCIe-GB/s on a real v5e host)
         g_warm_s, gidx = g_timed_build(base)
-        g_runs = [g_warm_s]
+        del gidx
+        g_host_s, gidx = g_timed_build(base)
+        g_host_stages = getattr(gidx, "build_stats", {}).get("stages", {})
+        xgdev = jax.block_until_ready(jnp.asarray(base))
+        g_runs = []
         for _ in range(3):
             del gidx
-            t, gidx = g_timed_build(base)
+            t, gidx = g_timed_build(xgdev)
             g_runs.append(t)
-        g_build_s = float(np.median(g_runs[1:]))
+        del xgdev
+        g_build_s = float(np.median(g_runs))
         g_build_stages = getattr(gidx, "build_stats", {}).get("stages", {})
         g_build_stages = {**g_build_stages,
                           "warmup_build_s": round(g_warm_s, 1),
-                          "build_runs_s": [round(t, 2) for t in g_runs[1:]]}
+                          "build_runs_s": [round(t, 2) for t in g_runs],
+                          "build_input": "device-resident",
+                          "host_input_build_s": round(g_host_s, 1),
+                          "host_input_stages": g_host_stages}
         # operating points, cheapest first: (descent_ef/seeds, ef_search,
         # expand, max_steps) — the (seeds, steps) frontier measured in
         # benchmarks/route_scan2.json. Under route=auto the 1M graph

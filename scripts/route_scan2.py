@@ -55,6 +55,13 @@ def main():
         (16, 4, 8, 6),
         (24, 4, 24, 3),
         (16, 4, 16, 3),
+        (16, 4, 24, 3),
+        (16, 4, 32, 3),
+        (12, 4, 16, 4),
+        (12, 4, 24, 3),
+        (16, 3, 16, 4),
+        (16, 3, 24, 4),
+        (16, 3, 16, 5),
     ]
     for ef, exp, seeds, ms in grid:
         st = {}

@@ -11,6 +11,9 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.smoke
 import numpy as np
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")

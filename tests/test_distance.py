@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from tpu_hnsw.config import Metric
 from tpu_hnsw.ops import distance as D
 

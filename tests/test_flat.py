@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from tpu_hnsw.config import Metric
 from tpu_hnsw.index.flat import FlatIndex
 from tpu_hnsw.utils.recall import recall_at_k

@@ -1,5 +1,8 @@
 """Native (C++) IO path vs numpy fallback."""
 
+import pytest
+
+pytestmark = pytest.mark.smoke
 import numpy as np
 
 from tpu_hnsw.io import native

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from tpu_hnsw.config import Metric
 from tpu_hnsw.index.ivf import IvfFlatIndex
 from tpu_hnsw.io.datasets import synthetic_clustered

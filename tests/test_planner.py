@@ -9,6 +9,8 @@ model, plus a data-structure gate the upstream planner cannot express.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from tpu_hnsw.io.datasets import synthetic_clustered, synthetic_uniform
 from tpu_hnsw.planner import (STRUCTURE_MIN, EnginePlan, choose_engine,
                               cluster_structure_score, estimate_block_qps,

@@ -1,5 +1,8 @@
 """Sanity tests for the sequential reference HNSW oracle."""
 
+import pytest
+
+pytestmark = pytest.mark.smoke
 import numpy as np
 
 from tpu_hnsw.config import HnswConfig, Metric

@@ -8,6 +8,8 @@ path (merge lane and densified-vocab MXU lane) must match it.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from tpu_hnsw.config import Metric
 from tpu_hnsw.ops.sparse import (
     SPARSEVEC_MAX_NNZ,

@@ -6,6 +6,8 @@ prefix sorts first), recv/send round-trips, and a bf16 IVFFlat index.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from tpu_hnsw import IvfFlatIndex, Metric
 from tpu_hnsw.ops import vector_ops as V
 

@@ -33,6 +33,7 @@ upstream also special-cases with its in-memory parallel build,
 from __future__ import annotations
 
 import functools
+import os
 import math
 
 import jax
@@ -172,7 +173,16 @@ def _select_chunk(g: G.HnswGraph, ci, cd, *, lm: int, metric: Metric, trim: int)
 
 @functools.partial(jax.jit, static_argnames=("incoming_r", "cap"))
 def _incoming(prelim_ids, prelim_d, nid, sentinel, *, incoming_r: int, cap: int):
-    """Scatter every directed edge (u -> t) into t's incoming slots."""
+    """Scatter every directed edge (u -> t) into t's incoming slots.
+
+    NOTE: the (target, distance) ordering must be a two-pass lexsort. A
+    composite ``(t << 32) | float_bits(d)`` single-sort key was tried in
+    r5 and silently broke under JAX's default x64-disabled mode (int64
+    degrades to int32, the shift vanishes, edges get ranked by distance
+    globally instead of per target) — measured as a 2.3-point recall
+    regression at 1M before being bisected back to this function. The
+    lexsort is also not actually slower in the real build (the random-
+    graph microbench that motivated the key overstated its share)."""
     t = prelim_ids.reshape(-1)
     u = jnp.broadcast_to(nid[:, None], prelim_ids.shape).reshape(-1)
     d = prelim_d.reshape(-1)
@@ -269,7 +279,7 @@ def _non_candidates(g: G.HnswGraph, node_ids, *, r2: int):
 
 
 def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
-               kmeans_iters: int = 5, refine_rounds: int = 1) -> None:
+               kmeans_iters: int = 5, refine_rounds: int = 0) -> None:
     """Bulk-build an empty HnswIndex from ``data`` (MXU path).
 
     Records a per-stage wall-clock breakdown in ``index.build_stats``
@@ -399,8 +409,14 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
     )
     _mark("union_candidates", all_ci)
 
-    # exact re-score (fixed-shape chunks on device)
-    chunk = min(8192, n_bucket)
+    # exact re-score (fixed-shape chunks on device). Chunk size trades
+    # peak HBM ([chunk, C, d] f32 gathers, ~2.1GB at 32768 x 128 x 128)
+    # against the SERIAL cost of the selection heuristic: select's
+    # greedy scan is a fori_loop of C tiny steps, so total build time
+    # carries (n/chunk) * C sequential kernel launches — r5 measured
+    # link_l0 10.0s + nn_descent_refine 14.8s at 1M with chunk=8192,
+    # dominated by exactly these steps; 4x the chunk cuts them ~4x.
+    chunk = min(int(os.environ.get("TPU_HNSW_BUILD_CHUNK", 32768)), n_bucket)
     n_pad = ((n + chunk - 1) // chunk) * chunk
     ci_p = all_ci[:n_pad] if n_pad <= n_bucket else _pad_rows(all_ci, n_pad, sent)
     # rows >= n of the union output are junk scattered by sentinel members;
@@ -457,8 +473,14 @@ def build_bulk(index, data, cluster_size: int = 1024, overlap: int = 2,
     _mark("link_l0", g.neighbors0)
 
     # NN-descent refinement: candidates = neighbors ∪ neighbors-of-
-    # neighbors, rescored exactly, re-selected + re-symmetrized. Lifts the
-    # recall ceiling left by the 2-cluster candidate horizon.
+    # neighbors, rescored exactly, re-selected + re-symmetrized.
+    # Default 0 since r5: measured at 1M x 128 (seed 42, 4 operating
+    # points, correct lexsort symmetrization) one round costs 15.2s of
+    # a 38.2s device-resident build and buys ≤0.05 recall points
+    # (refine1 0.9691/0.9912 vs refine0 0.9686/0.9910 at the two bench
+    # ladder anchors) — the overlap-2 cluster candidates plus the
+    # incoming-edge symmetrization already saturate what the refine
+    # round was added for in r3. Kept as an opt-in knob.
     for _ in range(refine_rounds):
         ref_ci_parts, ref_cd_parts = [], []
         for s in range(0, n_pad, chunk):
