@@ -255,19 +255,23 @@ def main():
         # measured in r3) — every point carries a multi-seed router.
         # max_steps=0 = run to convergence (the lockstep tail,
         # benchmarks/graph_tail.json).
-        ladder = [(16, 16, 4, 4), (8, 16, 4, 5), (8, 24, 4, 6),
-                  (8, 24, 4, 7), (8, 40, 4, 9), (8, 64, 4, 0),
-                  (8, 128, 1, 0), (8, 200, 1, 0)]
+        ladder = [(16, 16, 3, 4), (24, 16, 3, 4), (16, 16, 3, 5),
+                  (16, 16, 4, 4), (24, 16, 2, 5), (8, 16, 4, 5),
+                  (8, 24, 4, 6), (8, 24, 4, 7), (8, 40, 4, 9),
+                  (8, 64, 4, 0), (8, 128, 1, 0), (8, 200, 1, 0)]
         g_dce, g_ef, g_exp, g_steps, g_recall = *ladder[-1], 0.0
-        # 0.005 selection margin: selection and measurement use the same
-        # full query set, but the measured pass re-runs the program and
-        # CV is ~1-3% — a point sitting exactly at the gate could flap.
+        # no selection margin: the selection pass and the measured pass
+        # run the SAME deterministic program on the SAME query set in
+        # the same process, so the recall reported below is exactly the
+        # recall gated here (only QPS carries run-to-run noise). The r4
+        # +0.005 margin guarded against a drift that cannot occur
+        # in-process and rejected honest just-at-target points.
         for dce, ef, exp, ms in ladder:
             _, g_ids = gidx.search(queries, k=10, ef_search=ef,
                                    expand=exp, descent_ef=dce,
                                    max_steps=ms)
             g_recall = recall_at_k(g_ids, gt, 10)
-            if g_recall >= target_recall + 0.005:
+            if g_recall >= target_recall:
                 g_dce, g_ef, g_exp, g_steps = dce, ef, exp, ms
                 break
         g_stats = {}

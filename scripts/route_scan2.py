@@ -62,6 +62,10 @@ def main():
         (16, 3, 16, 4),
         (16, 3, 24, 4),
         (16, 3, 16, 5),
+        (16, 2, 24, 5),
+        (16, 2, 32, 5),
+        (16, 2, 24, 6),
+        (12, 3, 24, 4),
     ]
     for ef, exp, seeds, ms in grid:
         st = {}
