@@ -44,6 +44,8 @@ def main():
     dim = 512
     n_queries = 512
     work = os.environ.get("TPU_HNSW_E12_DIR", "/tmp/e12m5_idx")
+    S_BLK = int(os.environ.get("TPU_HNSW_E12_S", 128))
+    E_SLACK = float(os.environ.get("TPU_HNSW_E12_SLACK", "1.10"))
 
     import jax
     import jax.numpy as jnp
@@ -103,16 +105,55 @@ def main():
         t0 = time.perf_counter()
         corpus = gen_corpus(n_shard, seed0=1 + p * 1000)
         t_gen = time.perf_counter() - t0
-        idx = BlockHnswIndex(cfg, block_size=256)
+        # r5 recall-ceiling fix (measured on a 3.125M shard, streamed
+        # exact oracle): the S=256 packing spilled ~21% of rows of this
+        # sharply clustered corpus into far blocks whose centroids rank
+        # in the hundreds for the right queries — a probe-independent
+        # recall plateau at ~0.92. S=128 matches block granularity to
+        # cluster mass (retried 648k -> 433k with slack 1.10) and the
+        # plateau moves to 0.952@16 probes / 0.965@64 (rerank 128).
+        idx = BlockHnswIndex(cfg, block_size=S_BLK, block_slack=E_SLACK)
         t0 = time.perf_counter()
         idx.build(corpus)
         t_build = time.perf_counter() - t0
         del corpus
-        # exhaustive exact oracle for this shard while it is resident
+        # exhaustive exact oracle for this shard while it is resident:
+        # a direct streamed f32-accumulation scan over the stored
+        # blocks (the serve program at probes=n_blocks OOMs at S=128
+        # block counts; this scan is also what the 3.125M shard
+        # experiments validated the recall numbers against)
         t0 = time.perf_counter()
-        d, i = idx.search(qhost, k=10, probes=idx.n_blocks)
-        gt_parts_d.append(np.asarray(d))
-        gt_parts_i.append(np.asarray(i) + p * n_shard)  # global ids
+        CH = 1024
+        padb = (-idx.blocks.shape[0]) % CH
+        blocks_p = jnp.pad(idx.blocks, ((0, padb), (0, 0), (0, 0)))
+        ids_p = jnp.pad(idx.block_ids, ((0, padb), (0, 0)),
+                        constant_values=-1)
+        qn = jnp.asarray(qhost)
+        qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=1, keepdims=True),
+                              1e-12)
+
+        @jax.jit
+        def _oracle_slab(qj, slab, sids, best_d, best_i):
+            sc = -(qj @ slab.astype(jnp.float32).T)
+            sc = jnp.where((sids >= 0)[None], sc, jnp.inf)
+            d2 = jnp.concatenate([best_d, sc], 1)
+            i2 = jnp.concatenate(
+                [best_i, jnp.broadcast_to(sids[None], sc.shape)], 1)
+            vals, sel = jax.lax.top_k(-d2, 10)
+            return -vals, jnp.take_along_axis(i2, sel, 1)
+
+        bd = jnp.full((len(qhost), 10), jnp.inf)
+        bi = jnp.full((len(qhost), 10), -1, jnp.int32)
+        for b0 in range(0, blocks_p.shape[0], CH):
+            slab = jax.lax.dynamic_slice_in_dim(
+                blocks_p, b0, CH, 0).reshape(-1, dim)
+            sids = jax.lax.dynamic_slice_in_dim(
+                ids_p, b0, CH, 0).reshape(-1)
+            bd, bi = _oracle_slab(qn, slab, sids, bd, bi)
+        d, i = np.asarray(bd), np.asarray(bi)
+        del blocks_p, ids_p
+        gt_parts_d.append(d)
+        gt_parts_i.append(np.where(i >= 0, i + p * n_shard, -1))
         t_oracle = time.perf_counter() - t0
         t0 = time.perf_counter()
         idx.save(os.path.join(work, f"part{p}"))
@@ -147,7 +188,8 @@ def main():
         # partitioned-index metadata for from_saved
         with open(os.path.join(work, "partitioned.json"), "w") as f:
             json.dump({"p": n_parts, "router": "hash", "route_k": 0,
-                       "n": n_total, "engine": "block", "block_size": 256},
+                       "n": n_total, "engine": "block",
+                       "block_size": S_BLK},
                       f)
         np.savez(os.path.join(work, "router.npz"), centroids=np.zeros(0),
                  part_of=np.zeros(0, np.int32),
@@ -159,6 +201,9 @@ def main():
     sh = ShardedBlockSearcher.from_saved(
         work, jax.make_mesh((1,), ("shard",)))
     load_s = time.perf_counter() - t0
+    # stage-1 survivor pool per shard: 40 was the plateau's second cause
+    # (near-tie bf16 scores at 512d; 128 measured +0.6-0.9 recall pts)
+    sh.rerank_width = 128
     assert sh.blocks_score is sh.blocks, "bf16 scoring must alias"
 
     mem = {}
@@ -172,7 +217,7 @@ def main():
     rows = []
     for ef in (16, 32, 64):
         probes = sh.probes_for_ef(ef)
-        per_q = probes * n_parts * 256 * 512 * 2  # bf16 gather bytes/query
+        per_q = probes * n_parts * S_BLK * 512 * 2  # bf16 gather bytes/q
         # conservative chunk: the remote compiler 500s on very large
         # gather programs at this table size
         chunk = 64

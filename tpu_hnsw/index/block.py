@@ -735,6 +735,7 @@ class BlockHnswIndex:
         config: HnswConfig,
         block_size: int = 256,
         routing: str = "auto",
+        block_slack: float = 1.05,
     ):
         if routing not in ("auto", "exact", "graph"):
             raise ValueError("routing must be auto|exact|graph")
@@ -747,8 +748,13 @@ class BlockHnswIndex:
         # rerank_width rows per query survive stage 1
         self.two_stage = True
         self.rerank_width = 40
-        self.block_slack = 1.05  # see _pack: packing slack kills the
-        # leftover-placement recall floor at exact capacity
+        # packing slack (see _pack): at exact capacity the balanced
+        # packer strands rows in arbitrary leftover blocks — a probe-
+        # independent recall floor. Raise for sharply clustered corpora
+        # where cluster mass >> block capacity forces cross-cluster
+        # spill (config-E geometry: the r5 shard experiment measured
+        # the spill fraction as the recall ceiling).
+        self.block_slack = float(block_slack)
         self.n = 0            # live rows (excl. deleted)
         self.n_total = 0      # rows ever placed (incl. deleted, excl. tail)
         self.n_blocks = 0
