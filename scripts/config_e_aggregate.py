@@ -105,6 +105,11 @@ def main():
             "is exactly the exhaustive-partition union the per-chip "
             "oracle already measures (hash partitioning, all shards "
             "searched)",
+            "CONSERVATIVE: the measured merge includes this fabric's "
+            "~1.5ms dispatch floor; in the real pod the merge fuses "
+            "into the shard_map serving program and pays no separate "
+            "dispatch, so true aggregate QPS sits between this figure "
+            "and 8x-corpus-at-per-chip-QPS",
         ],
     }
     art["config_e_aggregate"] = agg
