@@ -45,8 +45,8 @@ import numpy as np
 
 __all__ = [
     "HardwareModel", "EnginePlan", "estimate_flat_qps",
-    "estimate_block_qps", "estimate_graph_qps", "cluster_structure_score",
-    "choose_engine", "calibrate",
+    "estimate_flat_int8_qps", "estimate_block_qps", "estimate_graph_qps",
+    "cluster_structure_score", "choose_engine", "calibrate",
 ]
 
 
@@ -97,6 +97,27 @@ def estimate_flat_qps(n: int, dim: int, *, batch: int = 4096,
     """Sequential-scan cost: a [batch, n] distance matmul per batch —
     2·n·d MACs per query at the end-to-end f32 rate."""
     t = batch * 2.0 * n * dim / hw.f32_macs_per_s + hw.dispatch_s
+    return batch / t
+
+
+#: measured end-to-end speedup of the int8 streamed scan over the
+#: default FlatIndex scan. NEGATIVE RESULT (r5, fetch-timed): 1M x 128
+#: 89.7k vs 90.7k and 10M x 96 15.6k vs 15.2k — parity at both shapes,
+#: because the streamed scan is bound by score-tile materialization +
+#: per-block top-k traffic, not by matmul input bytes (r4's "36k int8
+#: exhaustive scan" microbench was a different, non-servable program
+#: shape). The planner therefore prices flat_int8 identically to flat
+#: and never prefers it; the FlatIndex mode stays available for
+#: byte-bound fabrics.
+INT8_SCAN_SPEEDUP = 1.0
+
+
+def estimate_flat_int8_qps(n: int, dim: int, *, batch: int = 4096,
+                           hw: HardwareModel = HardwareModel()) -> float:
+    """``FlatIndex(scan_dtype="int8")`` cost (see INT8_SCAN_SPEEDUP —
+    measured parity with the default scan on this fabric)."""
+    t = (batch * 2.0 * n * dim / (hw.f32_macs_per_s * INT8_SCAN_SPEEDUP)
+         + hw.dispatch_s)
     return batch / t
 
 
@@ -213,6 +234,7 @@ def choose_engine(n: int, dim: int, *, recall_target: float = 0.95,
     (the measured ceiling of their benchmark operating points).
     """
     flat = estimate_flat_qps(n, dim, batch=batch, hw=hw)
+    flat8 = estimate_flat_int8_qps(n, dim, batch=batch, hw=hw)
     block = estimate_block_qps(n, dim, probes=8, block_size=block_size,
                                batch=batch, hw=hw)
     graph = estimate_graph_qps(n, dim, m=m, batch=batch, hw=hw)
@@ -233,6 +255,8 @@ def choose_engine(n: int, dim: int, *, recall_target: float = 0.95,
                 "is too small to fit centroids (need >= 8)")
     ann_ok = structure is None or structure >= STRUCTURE_MIN
 
+    del flat8  # measured parity with flat (INT8_SCAN_SPEEDUP): the
+    # int8 scan never wins a plan, so it is not offered as one
     plans = [EnginePlan("flat", flat, True, {"exact": True},
                         "exact scan; recall 1.0 at any target")]
     if ann_ok and recall_target <= 0.99:
@@ -246,7 +270,7 @@ def choose_engine(n: int, dim: int, *, recall_target: float = 0.95,
              "max_steps": 7, "route": "auto"},
             "classical beam search with dense scan routing"))
     best = max(plans, key=lambda p: p.est_qps)
-    if structure is not None and not ann_ok and best.engine == "flat":
+    if structure is not None and not ann_ok and best.engine.startswith("flat"):
         best = dataclasses.replace(
             best, reason=best.reason +
             f"; ANN engines refused: structure score {structure:.2f} < "
